@@ -1,0 +1,123 @@
+"""Flax ResNet-18/50 backbones (timm geometry, NHWC).
+
+Feature extractors equivalent to the reference's
+``timm.create_model('resnet18'|'resnet50', num_classes=0, global_pool='')``
+``forward_features`` (``/root/reference/models/texture_pooling.py:19, 533``):
+7×7/2 stem → BN/ReLU → 3×3/2 max-pool → 4 stages → ``(B, H/32, W/32, C)``
+with C = 512 (BasicBlock ×[2,2,2,2]) or 2048 (Bottleneck ×[3,4,6,3]).
+
+Also exposes per-stage taps (``RESNET18_NFP_AT_LAYER`` needs the output of
+any of layer1..layer4, ``/root/reference/models/resnet18.py:410-468``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+__all__ = ["ResNet", "resnet18", "resnet50"]
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        identity = x
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = norm("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = norm("downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        out_ch = self.planes * self.expansion
+        identity = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        # stride on the 3x3 (torch/timm "pytorch"-style ResNet-B)
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(norm("bn2")(y))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = norm("bn3")(y)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            identity = nn.Conv(out_ch, (1, 1), strides=self.stride,
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = norm("downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """Feature-extractor ResNet. ``__call__`` returns the final NHWC map;
+    ``features`` returns the four per-stage taps."""
+
+    block: str  # 'basic' | 'bottleneck'
+    layers: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @property
+    def num_features(self) -> int:
+        return 512 if self.block == "basic" else 2048
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 return_stages: bool = False):
+        norm = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype, name="bn1")
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(norm(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        blk = BasicBlock if self.block == "basic" else Bottleneck
+        stages: List[jnp.ndarray] = []
+        for i, (planes, n_blocks) in enumerate(
+                zip((64, 128, 256, 512), self.layers)):
+            for j in range(n_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                x = blk(planes=planes, stride=stride, dtype=self.dtype,
+                        name=f"layer{i + 1}_{j}")(x, train)
+            stages.append(x)
+        if return_stages:
+            return stages
+        return x
+
+
+def resnet18(dtype: Dtype = jnp.float32) -> ResNet:
+    return ResNet(block="basic", layers=(2, 2, 2, 2), dtype=dtype)
+
+
+def resnet50(dtype: Dtype = jnp.float32) -> ResNet:
+    return ResNet(block="bottleneck", layers=(3, 4, 6, 3), dtype=dtype)

@@ -1,0 +1,226 @@
+"""Fused Pallas TPU kernel for Neighborhood Feature Pooling.
+
+One kernel program processes one image: the reflect-padded feature map tile
+lives in VMEM, the 8 (k²−1) neighbor comparisons are computed as static
+shifted slices of that tile, each channel reduction runs on the VPU, and the
+(H, W, N) texture map — or, with ``fuse_gap``, just its (N,) spatial mean — is
+written out. The (B, H, W, N, C) neighbor tensor the PyTorch reference
+materializes in HBM (``/root/reference/models/pooling/nfp.py:42-47``; an 8×
+activation blow-up) never exists: everything between the feature map and the
+texture map stays in VMEM.
+
+The measure math is shared with the pure-XLA oracle (``measures.py``), so the
+kernel supports every registered measure except ``mahalanobis`` (needs
+per-sample statistics; served by the oracle path).
+
+Autodiff: ``nfp`` is a ``jax.custom_vjp`` whose forward runs this kernel and
+whose backward differentiates the pure-XLA oracle (``neighborhood.nfp_reference``)
+— exact gradients, Pallas-speed forward. The NFP op itself has no trainable
+parameters (the reference freezes its extraction convs, ``nfp.py:61, 82``);
+the gradient only flows through the input to the backbone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .measures import MeasureConfig, get_measure
+from .neighborhood import (
+    neighbor_offsets,
+    nfp_output_size,
+    nfp_reference,
+    num_neighbors,
+    pad_spatial,
+)
+
+__all__ = ["nfp", "nfp_pallas", "pallas_supported"]
+
+
+def pallas_supported(measure: str, stride: int) -> bool:
+    """The kernel covers the stride-1 fast path for all stat-free measures."""
+    return get_measure(measure).name != "mahalanobis" and stride == 1
+
+
+def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
+                p: float, eps: float, q_scs: float, dilation: int,
+                h_out: int, w_out: int, fuse_gap: bool):
+    m = get_measure(measure)
+    cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
+    xp = x_ref[0].astype(jnp.float32)  # (Hp, Wp, C) VMEM tile
+
+    r = radius * dilation
+    center = xp[r:r + h_out, r:r + w_out, :]
+
+    cols = []
+    for (i, j) in neighbor_offsets(radius):
+        hi, wj = i * dilation, j * dilation
+        nb = xp[hi:hi + h_out, wj:wj + w_out, :]
+        cols.append(m.pairwise(center, nb, -1, cfg))  # (H', W')
+    out = jnp.stack(cols, axis=-1)  # (H', W', N)
+
+    if m.needs_softmax_over_neighbors:
+        out = jax.nn.softmax(out, axis=-1)
+    out = m.finalize(out, similarity)
+
+    if fuse_gap:
+        o_ref[0, 0] = jnp.mean(out, axis=(0, 1)).astype(o_ref.dtype)
+    else:
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "measure", "similarity", "p", "eps", "q_scs",
+                     "padding", "dilation", "padding_mode", "fuse_gap",
+                     "interpret"),
+)
+def nfp_pallas(
+    x: jax.Array,
+    radius: int = 1,
+    measure: str = "cosine",
+    *,
+    similarity: bool = True,
+    p: float = 1.0,
+    eps: float = 1e-6,
+    q_scs: float = 1e-6,
+    padding: int = 0,
+    dilation: int = 1,
+    padding_mode: str = "reflect",
+    fuse_gap: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run the fused NFP(+GAP) kernel on an NHWC feature map (stride 1)."""
+    b, h, w, c = x.shape
+    n = num_neighbors(radius)
+    h_out = nfp_output_size(h, radius, 1, padding, dilation)
+    w_out = nfp_output_size(w, radius, 1, padding, dilation)
+
+    xp = pad_spatial(x, padding, padding_mode)
+    hp, wp = xp.shape[1], xp.shape[2]
+
+    if fuse_gap:
+        # (B, 1, N) keeps the last-two block dims equal to the array dims,
+        # as the Mosaic lowering requires; squeezed to (B, N) below.
+        out_shape = jax.ShapeDtypeStruct((b, 1, n), x.dtype)
+        out_spec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((b, h_out, w_out, n), x.dtype)
+        out_spec = pl.BlockSpec((1, h_out, w_out, n), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _nfp_kernel, radius=radius, measure=measure, similarity=similarity,
+        p=p, eps=eps, q_scs=q_scs, dilation=dilation, h_out=h_out,
+        w_out=w_out, fuse_gap=fuse_gap,
+    )
+    flops_per_pair = 6  # rough: diff/mul + reduce + epilogue, per channel
+    cost = pl.CostEstimate(
+        flops=b * h_out * w_out * n * c * flops_per_pair,
+        bytes_accessed=xp.size * xp.dtype.itemsize + (b * n * (1 if fuse_gap else h_out * w_out)) * 4,
+        transcendentals=b * h_out * w_out * n,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xp)
+    if fuse_gap:
+        out = out.reshape(b, n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public differentiable op
+# ---------------------------------------------------------------------------
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.custom_vjp,
+    nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+)
+def nfp(
+    x: jax.Array,
+    radius: int = 1,
+    measure: str = "cosine",
+    similarity: bool = True,
+    p: float = 1.0,
+    eps: float = 1e-6,
+    q_scs: float = 1e-6,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    padding_mode: str = "reflect",
+    data_format: str = "NHWC",
+    fuse_gap: bool = False,
+) -> jax.Array:
+    """Neighborhood Feature Pooling (differentiable, Pallas-accelerated).
+
+    Dispatches to the fused Pallas kernel when eligible (stride 1, stat-free
+    measure, NHWC-convertible input) and to the pure-XLA oracle otherwise.
+    See ``neighborhood.nfp_reference`` for argument semantics.
+    """
+    return _nfp_fwd(x, radius, measure, similarity, p, eps, q_scs, stride,
+                    padding, dilation, padding_mode, data_format, fuse_gap)[0]
+
+
+def _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
+                   padding, dilation, padding_mode, data_format, fuse_gap):
+    if pallas_supported(measure, stride):
+        xh = jnp.transpose(x, (0, 2, 3, 1)) if data_format == "NCHW" else x
+        out = nfp_pallas(
+            xh, radius, measure, similarity=similarity, p=p, eps=eps,
+            q_scs=q_scs, padding=padding, dilation=dilation,
+            padding_mode=padding_mode, fuse_gap=fuse_gap,
+            interpret=_use_interpret(),
+        )
+        if not fuse_gap and data_format == "NCHW":
+            out = jnp.transpose(out, (0, 3, 1, 2))
+        return out
+    return nfp_reference(
+        x, radius, measure, similarity=similarity, p=p, eps=eps, q_scs=q_scs,
+        stride=stride, padding=padding, dilation=dilation,
+        padding_mode=padding_mode, data_format=data_format, fuse_gap=fuse_gap,
+    )
+
+
+def _nfp_fwd(x, radius, measure, similarity, p, eps, q_scs, stride, padding,
+             dilation, padding_mode, data_format, fuse_gap):
+    out = _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
+                         padding, dilation, padding_mode, data_format, fuse_gap)
+    return out, x
+
+
+def _nfp_bwd(radius, measure, similarity, p, eps, q_scs, stride, padding,
+             dilation, padding_mode, data_format, fuse_gap, x, g):
+    # Exact gradient via the pure-XLA oracle; XLA fuses the recompute into
+    # the backward graph, and the op is cheap relative to the backbone.
+    def f(xx):
+        return nfp_reference(
+            xx, radius, measure, similarity=similarity, p=p, eps=eps,
+            q_scs=q_scs, stride=stride, padding=padding, dilation=dilation,
+            padding_mode=padding_mode, data_format=data_format,
+            fuse_gap=fuse_gap,
+        )
+
+    _, vjp = jax.vjp(f, x)
+    (dx,) = vjp(g)
+    return (dx,)
+
+
+nfp.defvjp(_nfp_fwd, _nfp_bwd)

@@ -1,0 +1,115 @@
+"""Model zoo smoke tests: construction, forward shapes, jit, gradients.
+
+The reference's de-facto unit test is a dummy forward at construction time
+(SURVEY §4); here every registered (model_type × variant) combination is
+exercised with small inputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neighbour_feature_pooling_tpu.models import (
+    MODEL_VARIANTS,
+    NUM_FTRS,
+    get_model,
+)
+
+NUM_CLASSES = 5
+
+
+def _init_and_forward(model, x, train=False):
+    rngs = {"params": jax.random.PRNGKey(0)}
+    variables = model.init(rngs, x, train=False)
+    extra = {"dropout": jax.random.PRNGKey(1)} if train else {}
+    out = model.apply(variables, x, train=train, rngs=extra,
+                      mutable=["batch_stats"] if train else False)
+    if train:
+        out = out[0]
+    return out, variables
+
+
+# Small inputs keep CPU runtime sane; ViT needs 224 (fixed patch grid is not
+# required — pos embed slices — but tokens_to_map needs a square count).
+_INPUT_SIZE = {"resnet18": 64, "resnet50": 64, "mobilenetv3": 64,
+               "vittiny": 96}
+
+ALL_COMBOS = [(mt, v) for mt, variants in MODEL_VARIANTS.items()
+              for v in variants]
+
+
+@pytest.mark.parametrize("model_type,variant", ALL_COMBOS)
+def test_forward_shape(model_type, variant):
+    s = _INPUT_SIZE[model_type]
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, s, s, 3)).astype(np.float32))
+    model = get_model(model_type, variant, NUM_CLASSES)
+    logits, variables = _init_and_forward(model, x)
+    assert logits.shape == (2, NUM_CLASSES), (model_type, variant)
+    assert bool(jnp.all(jnp.isfinite(logits))), (model_type, variant)
+
+
+def test_train_mode_and_grad():
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray([0, 3])
+    model = get_model("resnet18", "texture_nfp", NUM_CLASSES)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    def loss_fn(params):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        onehot = jax.nn.one_hot(y, NUM_CLASSES)
+        return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), axis=-1))
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert bool(jnp.isfinite(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+    # gradient reaches the backbone through the NFP custom-vjp
+    g_bb = jax.tree_util.tree_leaves(grads["backbone"])
+    assert max(float(jnp.abs(g).max()) for g in g_bb) > 0
+
+
+def test_13_channel_input():
+    # EuroSAT multispectral: 13 input channels (demo.py:224-229)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 64, 64, 13)).astype(np.float32))
+    model = get_model("resnet18", "gap_only", 10, num_input_channels=13)
+    logits, _ = _init_and_forward(model, x)
+    assert logits.shape == (1, 10)
+
+
+def test_feature_dims_match_reference():
+    # demo.py:271-278
+    assert NUM_FTRS == {"resnet18": 512, "resnet50": 2048,
+                        "mobilenetv3": 960, "vittiny": 192}
+
+
+def test_backbone_feature_shapes():
+    from neighbour_feature_pooling_tpu.models.backbones import (
+        MobileNetV3Large, resnet18, vit_tiny_patch16_224)
+
+    x = jnp.zeros((1, 224, 224, 3))
+    rn = resnet18()
+    v = rn.init(jax.random.PRNGKey(0), x)
+    f = rn.apply(v, x)
+    assert f.shape == (1, 7, 7, 512)
+
+    mn = MobileNetV3Large()
+    v = mn.init(jax.random.PRNGKey(0), x)
+    f = mn.apply(v, x)
+    assert f.shape == (1, 7, 7, 960)
+    feats = mn.apply(v, x, mode="features")
+    assert [t.shape for t in feats] == [
+        (1, 112, 112, 16), (1, 56, 56, 24), (1, 28, 28, 40),
+        (1, 14, 14, 112), (1, 7, 7, 960)]
+
+    vit = vit_tiny_patch16_224()
+    v = vit.init(jax.random.PRNGKey(0), x)
+    t = vit.apply(v, x)
+    assert t.shape == (1, 197, 192)
