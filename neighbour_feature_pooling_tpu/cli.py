@@ -1,0 +1,189 @@
+"""Experiment CLI — flag-compatible with the reference ``demo.py``.
+
+Mirrors the reference's L5 orchestration (``/root/reference/demo.py:431-557``):
+argparse surface → name normalization → num_classes resolution → 3-seed loop
+(42, 123, 999) → per-seed fit + best-checkpoint test → mean±std summary.
+
+Additions over the reference: ``--dataset synthetic`` (offline smoke/bench
+workload), ``--seeds``, ``--num_devices`` (data-parallel mesh), and the
+``--similarity`` flag actually reaches the texture_nfp head (in the
+reference it is consumed only by legacy variants, ``demo.py:253-259`` vs the
+hard-coded cosine at ``NFP_Pooling.py:10-16``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .data import DATASET_NUM_CLASSES, get_datamodule
+from .models import MODEL_VARIANTS, canonical_model_type, get_model
+from .ops.measures import MEASURE_NAMES
+from .train import Trainer, TrainerConfig
+
+__all__ = ["build_parser", "run_experiment", "main"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train models with GAP/NFP variants on various datasets "
+                    "(TPU-native)")
+    # reference surface (demo.py:432-475)
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--max_epochs", type=int, default=200)
+    p.add_argument("--similarity", type=str, default="cosine",
+                   choices=MEASURE_NAMES + ["mahalanobis"])
+    p.add_argument("--dataset", type=str, default="UCMerced",
+                   choices=["UCMerced", "RESISC45", "MSTAR", "cifar10",
+                            "GTOS-Mobile", "PlantVillage", "EuroSAT",
+                            "FashionMNIST", "synthetic"])
+    p.add_argument("--model_type", type=str, default="resnet18",
+                   choices=["resnet18", "resnet50", "vittiny", "mobilenetv3",
+                            "vit_tiny_patch16_224", "mobilenetv3_large_100"])
+    all_variants = sorted({v for vs in MODEL_VARIANTS.values() for v in vs})
+    p.add_argument("--model_variant", type=str, default="gap_only",
+                   choices=all_variants)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--resize_size", type=int, default=256)
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--min_delta", type=float, default=0.0001)
+    p.add_argument("--nfp_radius", type=int, default=1)
+    p.add_argument("--nfp_padding", type=int, default=0)
+    p.add_argument("--nfp_stride", type=int, default=1)
+    p.add_argument("--nfp_layer_idx", type=int, default=3)
+    p.add_argument("--nfp_insert_idx", type=int, default=1)
+    p.add_argument("--nfp_intermediate_layer_idx", type=int, default=1)
+    p.add_argument("--nfp_mid_layer_idx", type=int, default=1)
+    # TPU-native additions
+    p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--num_workers", type=int, default=0)
+    return p
+
+
+def _normalize_dataset(name: str) -> str:
+    key = name.strip().replace("-", "").replace("_", "").lower()
+    mapping = {  # demo.py:479-489
+        "ucmerced": "UCMerced", "resisc45": "RESISC45", "mstar": "MSTAR",
+        "cifar10": "cifar10", "gtosmobile": "GTOS-Mobile",
+        "plantvillage": "PlantVillage", "eurosat": "EuroSAT",
+        "fashionmnist": "FashionMNIST", "synthetic": "synthetic",
+    }
+    return mapping.get(key, name)
+
+
+def run_experiment(seed: int, config: Dict) -> float:
+    """One seed: data → model → fit → best-checkpoint test → test accuracy
+    (``demo.py:217-428``)."""
+    import jax
+
+    dataset = config["dataset"]
+    data_module = get_datamodule(dataset, config)
+    # Force 13 channels for multispectral EuroSAT (demo.py:224-229)
+    num_input_channels = 13 if dataset.lower() == "eurosat" else 3
+    data_module.num_input_channels = num_input_channels
+
+    exp_dir = os.path.join(
+        "logs", dataset,
+        f"{config['model_type']}-{config['model_variant']}-seed{seed}")
+    ckpt_dir = os.path.join("checkpoints", dataset,
+                            f"{config['name']}_seed{seed}")
+
+    data_module.prepare_data()
+    data_module.setup("fit")
+    if hasattr(data_module, "print_first_batch_shape"):
+        data_module.print_first_batch_shape()
+    num_classes = getattr(data_module, "num_classes", None) or \
+        config["num_classes"]
+
+    model = get_model(
+        config["model_type"], config["model_variant"], num_classes,
+        num_input_channels=num_input_channels,
+        measure=config.get("similarity", "cosine"),
+        nfp_radius=config.get("nfp_radius", 1),
+        nfp_padding=config.get("nfp_padding", 0),
+        nfp_stride=config.get("nfp_stride", 1),
+        nfp_layer_idx=config.get("nfp_layer_idx", 3),
+        nfp_insert_idx=config.get("nfp_insert_idx", 1),
+        nfp_intermediate_layer_idx=config.get("nfp_intermediate_layer_idx", 1),
+        nfp_mid_layer_idx=config.get("nfp_mid_layer_idx", 1),
+    )
+
+    mesh = None
+    n_dev = config.get("num_devices")
+    if n_dev is None:
+        n_dev = len(jax.devices())
+    if n_dev > 1:
+        from .parallel import create_mesh
+
+        mesh = create_mesh(jax.devices()[:n_dev])
+
+    trainer = Trainer(model, num_classes, TrainerConfig(
+        learning_rate=config["learning_rate"],
+        max_epochs=config["max_epochs"],
+        patience=config["patience"],
+        min_delta=config["min_delta"],
+        freeze_nfp=True, unfreeze_epoch=5,  # demo.py:376-377
+        log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
+    ), mesh=mesh)
+    trainer.fit(data_module)
+    metrics = trainer.test(data_module, restore="best",
+                           label_names=getattr(data_module, "class_names",
+                                               None) or None)
+    return metrics["accuracy"]
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.dataset = _normalize_dataset(args.dataset)
+    args.model_type = canonical_model_type(args.model_type)
+    args.model_variant = args.model_variant.lower()
+
+    num_classes = DATASET_NUM_CLASSES.get(args.dataset, 10)  # demo.py:494-503
+
+    config = {
+        "name": args.name,
+        "data_dir": args.data_dir,
+        "batch_size": {"train": args.batch_size, "val": args.batch_size,
+                       "test": args.batch_size},
+        "num_workers": args.num_workers,
+        "learning_rate": args.learning_rate,
+        "max_epochs": args.max_epochs,
+        "resize_size": args.resize_size,
+        "input_size": args.input_size,
+        "num_classes": num_classes,
+        "patience": args.patience,
+        "min_delta": args.min_delta,
+        "similarity": args.similarity,
+        "dataset": args.dataset,
+        "model_type": args.model_type,
+        "model_variant": args.model_variant,
+        "nfp_radius": args.nfp_radius,
+        "nfp_padding": args.nfp_padding,
+        "nfp_stride": args.nfp_stride,
+        "nfp_layer_idx": args.nfp_layer_idx,
+        "nfp_insert_idx": args.nfp_insert_idx,
+        "nfp_intermediate_layer_idx": args.nfp_intermediate_layer_idx,
+        "nfp_mid_layer_idx": args.nfp_mid_layer_idx,
+        "num_devices": args.num_devices,
+    }
+
+    results = []
+    for seed in args.seeds:  # demo.py:545-551
+        print(f"\n==== Running experiment with seed {seed} ====")
+        acc = run_experiment(seed, config)
+        print(f"Seed {seed} Test Accuracy: {acc:.4f}")
+        results.append(acc)
+    print(f"\n Final Test Accuracy over {len(results)} seeds: "
+          f"{np.mean(results):.4f} ± {np.std(results):.4f}")
+
+
+if __name__ == "__main__":
+    main()

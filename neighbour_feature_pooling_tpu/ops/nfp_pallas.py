@@ -100,6 +100,10 @@ def nfp_pallas(
     n = num_neighbors(radius)
     h_out = nfp_output_size(h, radius, 1, padding, dilation)
     w_out = nfp_output_size(w, radius, 1, padding, dilation)
+    if h_out < 1 or w_out < 1:
+        raise ValueError(
+            f"NFP output size {h_out}x{w_out} invalid for input {h}x{w}, "
+            f"R={radius}, padding={padding}, dilation={dilation}")
 
     xp = pad_spatial(x, padding, padding_mode)
     hp, wp = xp.shape[1], xp.shape[2]

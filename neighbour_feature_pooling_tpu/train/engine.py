@@ -1,0 +1,151 @@
+"""Jit-compiled train/eval steps.
+
+The TPU-native replacement for the reference's ``Lightning_Wrapper``
+(``/root/reference/lightning_wrappers/Lightning_Wrapper.py``):
+
+* loss: cross-entropy with label smoothing 0.05 (``Lightning_Wrapper.py:35``);
+* optimizer: Adam (torch defaults: b1=0.9, b2=0.999, eps=1e-8,
+  ``Lightning_Wrapper.py:69-70``);
+* metrics: accuracy + macro F1/precision/recall accumulated as one confusion
+  matrix inside the jitted step (``metrics.py``);
+* freeze schedule: gradients of parameters whose path contains ``nfp_head``
+  or ``se_gate`` are zeroed until ``unfreeze_epoch``
+  (``Lightning_Wrapper.py:193-203`` — keyed the same way, so it is active for
+  the legacy se_gate/NFPHead variants and a no-op for the ``pool.*`` texture
+  heads, exactly as in the reference).
+
+Both steps are pure functions of a ``TrainState`` pytree, jitted once with
+donated state and shardings supplied by the caller (``parallel/mesh.py``).
+Batches are dicts ``{"image": NHWC, "label": (B,), "weight": (B,)}``; the
+weight channel masks padding examples so epoch metrics are exact without
+dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from .metrics import confusion_matrix_update, init_confusion
+
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_eval_step", "cross_entropy_loss", "freeze_mask"]
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state)
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array,
+                       weights: jax.Array,
+                       label_smoothing: float = 0.05) -> jax.Array:
+    """Label-smoothed CE matching ``nn.CrossEntropyLoss(label_smoothing=0.05)``
+    (mean over non-padded examples)."""
+    k = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, k)
+    smoothed = onehot * (1.0 - label_smoothing) + label_smoothing / k
+    per_ex = -jnp.sum(smoothed * jax.nn.log_softmax(logits), axis=-1)
+    w = weights.astype(per_ex.dtype)
+    return jnp.sum(per_ex * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def freeze_mask(params, substrings: Tuple[str, ...] = ("nfp_head", "se_gate")):
+    """0/1 pytree: 0 where any path component contains a freeze key."""
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {
+        k: 0.0 if any(s in part for part in k for s in substrings) else 1.0
+        for k in flat
+    }
+    return flax.traverse_util.unflatten_dict(mask)
+
+
+def create_train_state(model, rng: jax.Array, sample_batch: Dict[str, jax.Array],
+                       learning_rate: float) -> TrainState:
+    """Initialize params/batch_stats and an Adam optimizer."""
+    variables = model.init({"params": rng}, sample_batch["image"][:1],
+                           train=False)
+    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_train_step(num_classes: int, label_smoothing: float = 0.05,
+                    freeze_substrings: Tuple[str, ...] = ("nfp_head",
+                                                          "se_gate")):
+    """Build the jitted train step.
+
+    Signature: ``(state, batch, dropout_rng, frozen: bool static) ->
+    (state, loss, confusion_update)``.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("frozen",),
+                       donate_argnames=("state",))
+    def train_step(state: TrainState, batch, dropout_rng, frozen: bool = False):
+        step_rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True,
+                rngs={"dropout": step_rng},
+                mutable=["batch_stats"])
+            loss = cross_entropy_loss(logits, batch["label"], batch["weight"],
+                                      label_smoothing)
+            return loss, (logits, mutated.get("batch_stats", {}))
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if frozen:
+            mask = freeze_mask(state.params, freeze_substrings)
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        cm = confusion_matrix_update(init_confusion(num_classes), logits,
+                                     batch["label"], batch["weight"])
+        return state, loss, cm
+
+    return train_step
+
+
+def make_eval_step(num_classes: int, label_smoothing: float = 0.05):
+    """Build the jitted eval step: ``(state, batch) -> (loss_sum, weight_sum,
+    confusion_update, logits)``."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False)
+        w = batch["weight"].astype(jnp.float32)
+        k = logits.shape[-1]
+        onehot = jax.nn.one_hot(batch["label"], k)
+        smoothed = onehot * (1.0 - label_smoothing) + label_smoothing / k
+        per_ex = -jnp.sum(smoothed * jax.nn.log_softmax(logits), axis=-1)
+        cm = confusion_matrix_update(init_confusion(num_classes), logits,
+                                     batch["label"], batch["weight"])
+        return jnp.sum(per_ex * w), jnp.sum(w), cm, logits
+
+    return eval_step

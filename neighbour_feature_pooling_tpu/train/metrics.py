@@ -1,0 +1,73 @@
+"""Classification metrics as pure jnp reductions.
+
+Replaces the reference's torchmetrics suite (``/root/reference/
+lightning_wrappers/Lightning_Wrapper.py:41-55``): multiclass accuracy
+(micro) and macro F1 / precision / recall, plus the confusion matrix used for
+the test-time heatmap (``Lightning_Wrapper.py:164-188``).
+
+Everything is derived from one confusion-matrix accumulator so a whole
+epoch's metrics cost a single (K, K) integer array carried through the jitted
+eval step — no host sync per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "confusion_matrix_update",
+    "metrics_from_confusion",
+    "init_confusion",
+]
+
+
+def init_confusion(num_classes: int) -> jax.Array:
+    return jnp.zeros((num_classes, num_classes), jnp.int32)
+
+
+def confusion_matrix_update(cm: jax.Array, logits: jax.Array,
+                            labels: jax.Array,
+                            weights: jax.Array | None = None) -> jax.Array:
+    """Accumulate predictions into a (K, K) confusion matrix (rows = true).
+
+    ``weights`` (0/1 per example) masks padding examples in the final,
+    partially-filled batch of an epoch.
+    """
+    k = cm.shape[0]
+    preds = jnp.argmax(logits, axis=-1)
+    if weights is None:
+        weights = jnp.ones_like(labels)
+    onehot = (jax.nn.one_hot(labels, k, dtype=jnp.int32)[:, :, None]
+              * jax.nn.one_hot(preds, k, dtype=jnp.int32)[:, None, :])
+    return cm + jnp.sum(onehot * weights[:, None, None].astype(jnp.int32),
+                        axis=0)
+
+
+def metrics_from_confusion(cm: jax.Array, eps: float = 1e-12
+                           ) -> Dict[str, jax.Array]:
+    """Accuracy (micro) + macro precision/recall/F1 from a confusion matrix.
+
+    Macro averaging and zero-division handling follow torchmetrics defaults:
+    a class with no predictions (or no true samples) contributes 0 to the
+    respective mean, and classes are averaged uniformly.
+    """
+    cm = cm.astype(jnp.float32)
+    total = jnp.sum(cm)
+    tp = jnp.diagonal(cm)
+    true_per_class = jnp.sum(cm, axis=1)
+    pred_per_class = jnp.sum(cm, axis=0)
+
+    accuracy = jnp.sum(tp) / jnp.maximum(total, 1.0)
+    precision = jnp.where(pred_per_class > 0, tp / (pred_per_class + eps), 0.0)
+    recall = jnp.where(true_per_class > 0, tp / (true_per_class + eps), 0.0)
+    f1 = jnp.where(precision + recall > 0,
+                   2 * precision * recall / (precision + recall + eps), 0.0)
+    return {
+        "accuracy": accuracy,
+        "precision": jnp.mean(precision),
+        "recall": jnp.mean(recall),
+        "f1": jnp.mean(f1),
+    }

@@ -1,0 +1,254 @@
+"""Training loop: the L4/L5 engine.
+
+Replaces the reference's PyTorch-Lightning ``Trainer`` + ``Lightning_Wrapper``
++ callbacks stack (``/root/reference/demo.py:371-428``) with a jit-compiled
+loop:
+
+* Adam + label-smoothed CE (``Lightning_Wrapper.py:35, 69-70``);
+* per-epoch train/val metrics (accuracy, macro F1/precision/recall) from one
+  on-device confusion-matrix accumulator;
+* EarlyStopping on ``val_loss`` with patience/min_delta
+  (``demo.py:393-399``);
+* ModelCheckpoint policy: top-1 by ``val_acc`` (max) + last
+  (``demo.py:381-392``);
+* NFP freeze schedule until ``unfreeze_epoch`` (``Lightning_Wrapper.py:
+  193-203``);
+* test-time confusion-matrix heatmap PNG
+  (``Lightning_Wrapper.py:164-188``);
+* optional ``jax.sharding.Mesh`` for data-parallel scaling — params
+  replicated, batch sharded, XLA inserts the gradient all-reduce.
+
+Logs go to ``{log_dir}/experiment.log`` (python logging, ``demo.py:78-85``)
+and ``{log_dir}/metrics.jsonl`` (one JSON line per epoch/split).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import data_sharding, replicated_sharding
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .engine import TrainState, create_train_state, make_eval_step, make_train_step
+from .metrics import init_confusion, metrics_from_confusion
+
+__all__ = ["TrainerConfig", "Trainer"]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    learning_rate: float = 1e-4
+    max_epochs: int = 200
+    patience: int = 10          # demo.py:462
+    min_delta: float = 1e-4     # demo.py:463
+    label_smoothing: float = 0.05
+    freeze_nfp: bool = True     # demo.py:376-377
+    unfreeze_epoch: int = 5
+    log_dir: str = "logs/run"
+    ckpt_dir: str = "checkpoints/run"
+    log_every_n_steps: int = 1
+    seed: int = 42
+
+
+class Trainer:
+    """Fit/validate/test driver for a ``TextureModel``."""
+
+    def __init__(self, model, num_classes: int, config: TrainerConfig,
+                 mesh=None):
+        self.model = model
+        self.num_classes = num_classes
+        self.config = config
+        self.mesh = mesh
+        self._train_step = make_train_step(num_classes,
+                                           config.label_smoothing)
+        self._eval_step = make_eval_step(num_classes, config.label_smoothing)
+        os.makedirs(config.log_dir, exist_ok=True)
+        self.logger = self._setup_logging(config.log_dir)
+        self._metrics_path = os.path.join(config.log_dir, "metrics.jsonl")
+        self.state: Optional[TrainState] = None
+        self.best = {"val_acc": -1.0, "epoch": -1}
+
+    @staticmethod
+    def _setup_logging(log_dir: str) -> logging.Logger:
+        logger = logging.getLogger(f"nfp_tpu.{log_dir}")
+        logger.setLevel(logging.INFO)
+        logger.propagate = False  # avoid duplicate lines via the root logger
+        if not logger.handlers:
+            fh = logging.FileHandler(os.path.join(log_dir, "experiment.log"))
+            fh.setFormatter(logging.Formatter(
+                "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+            logger.addHandler(fh)
+            sh = logging.StreamHandler()
+            sh.setFormatter(logging.Formatter("%(message)s"))
+            logger.addHandler(sh)
+        return logger
+
+    def _log_metrics(self, record: Dict[str, Any]) -> None:
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def _put_batch(self, batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            sharding = data_sharding(self.mesh)
+            batch = {k: jax.device_put(v, sharding)
+                     for k, v in batch.items()}
+        return batch
+
+    def init_state(self, sample_batch) -> TrainState:
+        rng = jax.random.PRNGKey(self.config.seed)
+        state = create_train_state(self.model, rng,
+                                   {k: jnp.asarray(v)
+                                    for k, v in sample_batch.items()},
+                                   self.config.learning_rate)
+        if self.mesh is not None:
+            rep = replicated_sharding(self.mesh)
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep)
+                if isinstance(x, jax.Array) else x, state)
+        self.state = state
+        return state
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, datamodule) -> Dict[str, Any]:
+        cfg = self.config
+        datamodule.prepare_data()
+        datamodule.setup("fit")
+        sample = next(iter(datamodule.train_batches(0)))
+        if self.state is None:
+            self.init_state(sample)
+
+        dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
+        best_val_loss = float("inf")
+        patience_left = cfg.patience
+        history = []
+
+        for epoch in range(cfg.max_epochs):
+            frozen = bool(cfg.freeze_nfp and epoch < cfg.unfreeze_epoch)
+            t0 = time.perf_counter()
+            cm = init_confusion(self.num_classes)
+            loss_sum, nb = 0.0, 0
+            for batch in datamodule.train_batches(epoch):
+                batch = self._put_batch(batch)
+                self.state, loss, cm_up = self._train_step(
+                    self.state, batch, dropout_rng, frozen=frozen)
+                cm = cm + cm_up
+                loss_sum += float(loss)
+                nb += 1
+            train_metrics = {k: float(v) for k, v in
+                             metrics_from_confusion(cm).items()}
+            train_metrics["loss"] = loss_sum / max(nb, 1)
+            train_metrics["time_s"] = time.perf_counter() - t0
+
+            val_metrics = self.evaluate(datamodule.val_batches())
+            record = {"epoch": epoch, "frozen": frozen,
+                      "train": train_metrics, "val": val_metrics}
+            history.append(record)
+            self._log_metrics(record)
+            self.logger.info(
+                f"epoch {epoch:3d} | train loss {train_metrics['loss']:.4f} "
+                f"acc {train_metrics['accuracy']:.4f} | val loss "
+                f"{val_metrics['loss']:.4f} acc {val_metrics['accuracy']:.4f}"
+                f" | {train_metrics['time_s']:.1f}s")
+
+            # ModelCheckpoint: best on val_acc (max) + last (demo.py:381-392)
+            if val_metrics["accuracy"] > self.best["val_acc"]:
+                self.best = {"val_acc": val_metrics["accuracy"],
+                             "epoch": epoch}
+                save_checkpoint(os.path.join(cfg.ckpt_dir, "best"),
+                                self.state,
+                                {"epoch": epoch, **val_metrics})
+            save_checkpoint(os.path.join(cfg.ckpt_dir, "last"), self.state,
+                            {"epoch": epoch, **val_metrics})
+
+            # EarlyStopping on val_loss (demo.py:393-399)
+            if val_metrics["loss"] < best_val_loss - cfg.min_delta:
+                best_val_loss = val_metrics["loss"]
+                patience_left = cfg.patience
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    self.logger.info(
+                        f"early stopping at epoch {epoch} "
+                        f"(val_loss plateau, patience {cfg.patience})")
+                    break
+        return {"history": history, "best": self.best}
+
+    # ----------------------------------------------------------------- eval
+
+    def evaluate(self, batches: Iterator) -> Dict[str, float]:
+        cm = init_confusion(self.num_classes)
+        loss_sum, w_sum = 0.0, 0.0
+        for batch in batches:
+            batch = self._put_batch(batch)
+            ls, ws, cm_up, _ = self._eval_step(self.state, batch)
+            cm = cm + cm_up
+            loss_sum += float(ls)
+            w_sum += float(ws)
+        m = {k: float(v) for k, v in metrics_from_confusion(cm).items()}
+        m["loss"] = loss_sum / max(w_sum, 1.0)
+        m["confusion"] = np.asarray(cm).tolist()
+        return m
+
+    def test(self, datamodule, restore: Optional[str] = "best",
+             label_names=None) -> Dict[str, float]:
+        """Test with the best (or last / current) checkpoint; saves the
+        confusion-matrix heatmap like the reference
+        (``Lightning_Wrapper.py:164-188``)."""
+        datamodule.setup("test")
+        if self.state is None:
+            sample = next(iter(datamodule.test_batches()))
+            self.init_state(sample)
+        if restore in ("best", "last"):
+            path = os.path.join(self.config.ckpt_dir, restore)
+            if (os.path.isdir(os.path.abspath(path) + ".orbax")
+                    or os.path.exists(path + ".msgpack")):
+                self.state, meta = restore_checkpoint(path, self.state)
+                self.logger.info(f"restored {restore} checkpoint: {meta}")
+        metrics = self.evaluate(datamodule.test_batches())
+        cm = np.asarray(metrics.pop("confusion"))
+        self._save_confusion_png(cm, label_names)
+        record = {"test": {k: v for k, v in metrics.items()}}
+        self._log_metrics(record)
+        self.logger.info(
+            f"test | loss {metrics['loss']:.4f} acc "
+            f"{metrics['accuracy']:.4f} f1 {metrics['f1']:.4f}")
+        return metrics
+
+    def _save_confusion_png(self, cm: np.ndarray, label_names=None) -> None:
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        out_dir = os.path.join(self.config.log_dir, "confusion_matrices")
+        os.makedirs(out_dir, exist_ok=True)
+        fig, ax = plt.subplots(figsize=(10, 8))
+        im = ax.imshow(cm, cmap="Blues")
+        if cm.shape[0] <= 30:
+            for i in range(cm.shape[0]):
+                for j in range(cm.shape[1]):
+                    ax.text(j, i, int(cm[i, j]), ha="center", va="center",
+                            fontsize=7)
+        if label_names is not None:
+            ax.set_xticks(range(len(label_names)))
+            ax.set_xticklabels(label_names, rotation=45, ha="right")
+            ax.set_yticks(range(len(label_names)))
+            ax.set_yticklabels(label_names)
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("True")
+        ax.set_title("Confusion Matrix")
+        fig.colorbar(im)
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "confusion_matrix.png"))
+        plt.close(fig)

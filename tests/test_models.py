@@ -45,7 +45,12 @@ def test_forward_shape(model_type, variant):
     s = _INPUT_SIZE[model_type]
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (2, s, s, 3)).astype(np.float32))
-    model = get_model(model_type, variant, NUM_CLASSES)
+    # CLI-padding legacy variants default to padding=0, which needs ≥3×3
+    # feature maps; small test inputs produce 2×2, so use "same" padding.
+    kwargs = {}
+    if variant in ("nfp_conv_only", "nfp_conv_mlp", "nfp_at_layer"):
+        kwargs["nfp_padding"] = 1
+    model = get_model(model_type, variant, NUM_CLASSES, **kwargs)
     logits, variables = _init_and_forward(model, x)
     assert logits.shape == (2, NUM_CLASSES), (model_type, variant)
     assert bool(jnp.all(jnp.isfinite(logits))), (model_type, variant)

@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neighbour_feature_pooling_tpu.models import get_model
+from neighbour_feature_pooling_tpu.parallel import (
+    create_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+from neighbour_feature_pooling_tpu.train import create_train_state, make_train_step
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, (
+        "conftest must force xla_force_host_platform_device_count=8")
+
+
+def _tiny_batch(b=16, img=24, k=4):
+    rng = np.random.default_rng(0)
+    return {
+        "image": jnp.asarray(rng.standard_normal((b, img, img, 3))
+                             .astype(np.float32)),
+        "label": jnp.asarray(np.arange(b) % k, jnp.int32),
+        "weight": jnp.ones((b,), jnp.float32),
+    }
+
+
+def test_data_parallel_step_matches_single_device():
+    """Loss, metrics and gradients agree between 1-device and 8-device DP.
+
+    Post-Adam parameters are NOT compared: Adam's first step is sign-like
+    (m/sqrt(v) ≈ ±1), so fp reduction-order noise in near-zero gradients
+    flips whole update entries — expected, not a sharding bug.
+    """
+    from neighbour_feature_pooling_tpu.train.engine import cross_entropy_loss
+
+    k = 4
+    batch = _tiny_batch()
+    model = get_model("resnet18", "texture_nfp", k)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-3)
+    train_step = make_train_step(k)
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def loss_and_grads(st, bt):
+        def loss_fn(params):
+            logits, _ = st.apply_fn(
+                {"params": params, "batch_stats": st.batch_stats},
+                bt["image"], train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            return cross_entropy_loss(logits, bt["label"], bt["weight"])
+
+        return jax.value_and_grad(loss_fn)(st.params)
+
+    # single device
+    loss1, grads1 = loss_and_grads(state, batch)
+    _, loss1s, cm1 = train_step(state, batch, rng, frozen=False)
+
+    # 8-device mesh: replicated state, sharded batch
+    mesh = create_mesh()
+    rep = replicated_sharding(mesh)
+    state8 = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-3)
+    state8 = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, rep) if isinstance(a, jax.Array) else a,
+        state8)
+    batch8 = shard_batch(batch, mesh)
+    loss8, grads8 = loss_and_grads(state8, batch8)
+    _, loss8s, cm8 = train_step(state8, batch8, rng, frozen=False)
+
+    assert abs(float(loss1) - float(loss8)) < 1e-5
+    assert abs(float(loss1s) - float(loss8s)) < 1e-5
+    np.testing.assert_array_equal(np.asarray(cm1), np.asarray(cm8))
+    for a, b in zip(jax.tree_util.tree_leaves(grads1),
+                    jax.tree_util.tree_leaves(grads8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, (variables, x) = ge.entry()
+    out = jax.jit(fn)(variables, x[:2])
+    assert out.shape == (2, 21)
