@@ -26,6 +26,8 @@ from .train import Trainer, TrainerConfig
 
 __all__ = ["build_parser", "run_experiment", "main"]
 
+_SUMMARY_PRINTED = False  # demo.py:76
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -124,6 +126,19 @@ def run_experiment(seed: int, config: Dict) -> float:
         from .parallel import create_mesh
 
         mesh = create_mesh(jax.devices()[:n_dev])
+
+    # one-time model summary (torchinfo.summary parity, demo.py:354-363)
+    global _SUMMARY_PRINTED
+    if not _SUMMARY_PRINTED:
+        import jax
+
+        from .utils import summarize
+
+        sample = next(iter(data_module.train_batches(0)))
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               sample["image"][:1], train=False)
+        print(summarize(variables))
+        _SUMMARY_PRINTED = True
 
     trainer = Trainer(model, num_classes, TrainerConfig(
         learning_rate=config["learning_rate"],

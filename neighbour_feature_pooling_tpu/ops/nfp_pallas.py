@@ -52,26 +52,26 @@ def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
                 h_out: int, w_out: int, fuse_gap: bool):
     m = get_measure(measure)
     cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
-    xp = x_ref[0].astype(jnp.float32)  # (Hp, Wp, C) VMEM tile
+    xp = x_ref[...].astype(jnp.float32)  # (BB, Hp, Wp, C) VMEM tile
 
     r = radius * dilation
-    center = xp[r:r + h_out, r:r + w_out, :]
+    center = xp[:, r:r + h_out, r:r + w_out, :]
 
     cols = []
     for (i, j) in neighbor_offsets(radius):
         hi, wj = i * dilation, j * dilation
-        nb = xp[hi:hi + h_out, wj:wj + w_out, :]
-        cols.append(m.pairwise(center, nb, -1, cfg))  # (H', W')
-    out = jnp.stack(cols, axis=-1)  # (H', W', N)
+        nb = xp[:, hi:hi + h_out, wj:wj + w_out, :]
+        cols.append(m.pairwise(center, nb, -1, cfg))  # (BB, H', W')
+    out = jnp.stack(cols, axis=-1)  # (BB, H', W', N)
 
     if m.needs_softmax_over_neighbors:
         out = jax.nn.softmax(out, axis=-1)
     out = m.finalize(out, similarity)
 
     if fuse_gap:
-        o_ref[0, 0] = jnp.mean(out, axis=(0, 1)).astype(o_ref.dtype)
+        o_ref[:, 0, :] = jnp.mean(out, axis=(1, 2)).astype(o_ref.dtype)
     else:
-        o_ref[0] = out.astype(o_ref.dtype)
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -108,15 +108,28 @@ def nfp_pallas(
     xp = pad_spatial(x, padding, padding_mode)
     hp, wp = xp.shape[1], xp.shape[2]
 
+    # Batch-block: one program handles BB images. Small feature maps (the
+    # ResNet/ViT 7x7-14x14 heads) would otherwise launch B tiny programs and
+    # be dispatch-bound; target ~2 MB of input tile per program, bounded by
+    # an ~8 MB VMEM budget including the fp32 compute temporaries.
+    bytes_per_img = hp * wp * c * 4 * 3  # input + ~2 temporaries, fp32
+    bb_cap = max(1, (8 << 20) // max(bytes_per_img, 1))
+    bb = 1
+    for cand in range(min(b, bb_cap), 0, -1):
+        if b % cand == 0:
+            bb = cand
+            break
+
     if fuse_gap:
-        # (B, 1, N) keeps the last-two block dims equal to the array dims,
+        # (BB, 1, N) keeps the last-two block dims equal to the array dims,
         # as the Mosaic lowering requires; squeezed to (B, N) below.
         out_shape = jax.ShapeDtypeStruct((b, 1, n), x.dtype)
-        out_spec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+        out_spec = pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
         out_shape = jax.ShapeDtypeStruct((b, h_out, w_out, n), x.dtype)
-        out_spec = pl.BlockSpec((1, h_out, w_out, n), lambda i: (i, 0, 0, 0),
+        out_spec = pl.BlockSpec((bb, h_out, w_out, n),
+                                lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
@@ -132,8 +145,8 @@ def nfp_pallas(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+        grid=(b // bb,),
+        in_specs=[pl.BlockSpec((bb, hp, wp, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=out_spec,
         out_shape=out_shape,

@@ -1,3 +1,4 @@
 """Shared utilities: profiling, summaries."""
 
 from .profiling import Timer, benchmark_fn, trace  # noqa: F401
+from .summary import count_parameters, summarize  # noqa: F401

@@ -1,0 +1,105 @@
+"""Data-layer tests: transforms, folder datamodule, synthetic, padding."""
+
+import os
+
+import numpy as np
+import pytest
+
+from neighbour_feature_pooling_tpu.data import (
+    FolderDataModule,
+    SyntheticDataModule,
+    TransformConfig,
+    eval_transform,
+    train_transform,
+)
+
+
+def test_eval_transform_resize_center_crop():
+    cfg = TransformConfig(resize_size=36, input_size=32,
+                          mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    img = np.random.default_rng(0).random((50, 70, 3)).astype(np.float32)
+    out = eval_transform(img, cfg)
+    assert out.shape == (32, 32, 3)
+    # normalization applied: values roughly in [-1, 1]
+    assert out.min() >= -1.01 and out.max() <= 1.01
+
+
+def test_train_transform_deterministic_given_rng():
+    cfg = TransformConfig(resize_size=36, input_size=32,
+                          mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    img = np.random.default_rng(1).random((64, 64, 3)).astype(np.float32)
+    a = train_transform(img, cfg, np.random.default_rng(7))
+    b = train_transform(img, cfg, np.random.default_rng(7))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (32, 32, 3)
+
+
+def test_synthetic_batches_and_padding():
+    dm = SyntheticDataModule(num_classes=3, num_samples=50, image_size=16,
+                             batch_size=16)
+    dm.setup()
+    batches = list(dm.train_batches(0))
+    # 35 train samples -> 3 batches, last padded
+    assert len(batches) == 3
+    for b in batches:
+        assert b["image"].shape == (16, 16, 16, 3)
+        assert b["label"].shape == (16,)
+    assert batches[-1]["weight"].sum() == 35 - 32
+    # weights of padding rows are zero and images are zeros there
+    w = batches[-1]["weight"]
+    assert (batches[-1]["image"][w == 0] == 0).all()
+
+
+def test_synthetic_learnable_classes_differ():
+    dm = SyntheticDataModule(num_classes=4, num_samples=64, image_size=16,
+                             batch_size=64)
+    dm.setup()
+    b = next(iter(dm.train_batches(0)))
+    per_class_mean = [b["image"][b["label"] == k].std() for k in range(4)]
+    assert all(np.isfinite(per_class_mean))
+
+
+def test_folder_datamodule(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for cls in ("alpha", "beta"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(10):
+            arr = (rng.random((20, 20, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    dm = FolderDataModule(str(tmp_path), resize_size=18, input_size=16,
+                          batch_size=4)
+    dm.setup()
+    assert dm.num_classes == 2
+    assert dm.class_names == ["alpha", "beta"]
+    # stratified 70/10/20: 7/1/2 per class
+    assert dm.split_size("train") == 14
+    assert dm.split_size("val") == 2
+    assert dm.split_size("test") == 4
+    b = next(iter(dm.train_batches(0)))
+    assert b["image"].shape == (4, 16, 16, 3)
+
+
+def test_folder_datamodule_missing_dir():
+    dm = FolderDataModule("/nonexistent/path", batch_size=4)
+    with pytest.raises(FileNotFoundError, match="synthetic"):
+        dm.setup()
+
+
+def test_summary_util():
+    import jax
+    import jax.numpy as jnp
+
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.utils import count_parameters, summarize
+
+    model = get_model("resnet18", "gap_only", 5)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 3)), train=False)
+    n = count_parameters(v["params"])
+    # ResNet18 backbone ~11.2M + fc
+    assert 11_000_000 < n < 12_000_000
+    s = summarize(v)
+    assert "Total trainable" in s and "backbone" in s
