@@ -63,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nfp_intermediate_layer_idx", type=int, default=1)
     p.add_argument("--nfp_mid_layer_idx", type=int, default=1)
     # TPU-native additions
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay fp32)")
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
@@ -85,6 +87,7 @@ def run_experiment(seed: int, config: Dict) -> float:
     """One seed: data → model → fit → best-checkpoint test → test accuracy
     (``demo.py:217-428``)."""
     import jax
+    import jax.numpy as jnp
 
     dataset = config["dataset"]
     data_module = get_datamodule(dataset, config)
@@ -116,6 +119,7 @@ def run_experiment(seed: int, config: Dict) -> float:
         nfp_insert_idx=config.get("nfp_insert_idx", 1),
         nfp_intermediate_layer_idx=config.get("nfp_intermediate_layer_idx", 1),
         nfp_mid_layer_idx=config.get("nfp_mid_layer_idx", 1),
+        dtype=jnp.bfloat16 if config.get("bf16") else jnp.float32,
     )
 
     mesh = None
@@ -188,6 +192,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "nfp_intermediate_layer_idx": args.nfp_intermediate_layer_idx,
         "nfp_mid_layer_idx": args.nfp_mid_layer_idx,
         "num_devices": args.num_devices,
+        "bf16": args.bf16,
     }
 
     results = []

@@ -422,6 +422,62 @@ class AttentionFusion(nn.Module):
         return w[:, :1] * gp + w[:, 1:] * np_
 
 
+class PositionalEncoding2D(nn.Module):
+    """Additive 2-D sin/cos positional encoding for NHWC maps
+    (``nfp_heads.py:121-134``: even channels sin over rows, odd channels cos
+    over columns — a distinct layout from the RADAM encoding in
+    ``ops/radam.py``)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        pe = np.zeros((h, w, c), np.float32)
+        y_pos = np.arange(h, dtype=np.float32)[:, None]
+        x_pos = np.arange(w, dtype=np.float32)[None, :]
+        div = np.exp(np.arange(0, c, 2, dtype=np.float32)
+                     * (-np.log(10000.0) / c))
+        pe[:, :, 0::2] = np.sin(y_pos[..., None] * div)
+        pe[:, :, 1::2] = np.cos(x_pos[..., None] * div[: c // 2])
+        return x + jnp.asarray(pe)[None]
+
+
+class NFPBottleneck(nn.Module):
+    """Residual bottleneck with NFP inside (``nfp_heads.py:234-278``):
+    1×1 reduce → NFP (padding 0, spatial shrinks by 2R) → 1×1 expand + BN,
+    identity avg-pooled to match spatial size and 1×1-projected to match
+    channels, ReLU(residual sum)."""
+
+    out_channels: int
+    stride: int = 1
+    radius: int = 1
+    measure: str = "cosine"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        mid = self.out_channels // 4
+        identity = x
+        y = nn.Conv(mid, (1, 1), strides=self.stride, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nfp(y, self.radius, self.measure, padding=0)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = norm("bn2")(y)
+        # spatial match: VALID avg-pool with kernel k = ΔHW + 1 (nfp_heads.py:261-265)
+        if identity.shape[1] != y.shape[1]:
+            k = identity.shape[1] - y.shape[1] + 1
+            identity = nn.avg_pool(identity, (k, k), strides=(1, 1))
+        if identity.shape[-1] != self.out_channels:
+            identity = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(identity)
+            identity = norm("downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
 class NFPProject(nn.Module):
     """``nfp_insert`` projection (``mobilenetv3.py:344-353``): the in-backbone
     NFP map (N channels) is projected back to the block's channel count with
