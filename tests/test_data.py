@@ -103,3 +103,28 @@ def test_summary_util():
     assert 11_000_000 < n < 12_000_000
     s = summarize(v)
     assert "Total trainable" in s and "backbone" in s
+
+
+def test_native_vs_python_pipeline_close():
+    """The single-pass native composite must track the two-step python path
+    (same sampling grid; only the antialias filter scale differs slightly)."""
+    from neighbour_feature_pooling_tpu import native
+
+    if not native.native_available():
+        pytest.skip("native lib unavailable")
+    cfg = TransformConfig(resize_size=32, input_size=28,
+                          mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+    rng = np.random.default_rng(0)
+    # smooth image so antialias differences are tiny
+    base = rng.random((8, 8, 3)).astype(np.float32)
+    from PIL import Image
+    img = np.stack([np.asarray(Image.fromarray(base[:, :, c], mode="F")
+                               .resize((64, 64), Image.BILINEAR))
+                    for c in range(3)], axis=2)
+    py = eval_transform(img, cfg)
+    from neighbour_feature_pooling_tpu.data.transforms import plan_eval
+    box = plan_eval(img.shape[:2], cfg)
+    nat = native.augment_batch([img], np.array([box]), np.array([0]),
+                               (28, 28), np.array(cfg.mean, np.float32),
+                               np.array(cfg.std, np.float32))[0]
+    assert np.abs(nat - py).mean() < 0.05
