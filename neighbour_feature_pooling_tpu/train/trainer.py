@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.prefetch import prefetch
 from ..parallel.mesh import data_sharding, replicated_sharding
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .engine import TrainState, create_train_state, make_eval_step, make_train_step
@@ -137,7 +138,7 @@ class Trainer:
             t0 = time.perf_counter()
             cm = init_confusion(self.num_classes)
             loss_sum, nb = 0.0, 0
-            for batch in datamodule.train_batches(epoch):
+            for batch in prefetch(iter(datamodule.train_batches(epoch))):
                 batch = self._put_batch(batch)
                 self.state, loss, cm_up = self._train_step(
                     self.state, batch, dropout_rng, frozen=frozen)
@@ -188,7 +189,7 @@ class Trainer:
     def evaluate(self, batches: Iterator) -> Dict[str, float]:
         cm = init_confusion(self.num_classes)
         loss_sum, w_sum = 0.0, 0.0
-        for batch in batches:
+        for batch in prefetch(iter(batches)):
             batch = self._put_batch(batch)
             ls, ws, cm_up, _ = self._eval_step(self.state, batch)
             cm = cm + cm_up

@@ -128,3 +128,19 @@ def test_native_vs_python_pipeline_close():
                                (28, 28), np.array(cfg.mean, np.float32),
                                np.array(cfg.std, np.float32))[0]
     assert np.abs(nat - py).mean() < 0.05
+
+
+def test_prefetch_preserves_order_and_errors():
+    from neighbour_feature_pooling_tpu.data import prefetch
+
+    assert list(prefetch(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("boom")
+
+    out = []
+    with pytest.raises(ValueError, match="boom"):
+        for x in prefetch(boom()):
+            out.append(x)
+    assert out == [1]
