@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 __all__ = ["ViT", "vit_tiny_patch16_224", "tokens_to_map"]
@@ -83,9 +84,19 @@ class ViT(nn.Module):
         pos = self.param("pos_embed",
                          nn.initializers.normal(stddev=0.02),
                          (1, 1 + self.num_patches, self.embed_dim))
+        if n != self.num_patches:
+            # non-224 input: bilinearly resample the 2-D patch grid of the
+            # position embedding (timm's resample_abs_pos_embed behavior)
+            g0 = int(round(self.num_patches ** 0.5))
+            g1 = int(round(n ** 0.5))
+            grid = pos[:, 1:].reshape(1, g0, g0, self.embed_dim)
+            grid = jax.image.resize(grid, (1, g1, g1, self.embed_dim),
+                                    "bilinear")
+            pos = jnp.concatenate(
+                [pos[:, :1], grid.reshape(1, n, self.embed_dim)], axis=1)
         x = jnp.concatenate([jnp.tile(cls.astype(x.dtype), (b, 1, 1)), x],
                             axis=1)
-        x = x + pos[:, : 1 + n].astype(x.dtype)
+        x = x + pos.astype(x.dtype)
 
         for i in range(self.depth):
             x = EncoderBlock(self.num_heads, self.mlp_ratio, self.dtype,
