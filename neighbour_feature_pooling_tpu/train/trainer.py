@@ -120,7 +120,10 @@ class Trainer:
 
     # ------------------------------------------------------------------ fit
 
-    def fit(self, datamodule) -> Dict[str, Any]:
+    def fit(self, datamodule, resume: bool = False) -> Dict[str, Any]:
+        """Train; ``resume=True`` restores the ``last`` checkpoint first
+        (the manual-resume workflow the reference's ``save_last=True``
+        enables, ``demo.py:391``)."""
         cfg = self.config
         datamodule.prepare_data()
         datamodule.setup("fit")
@@ -128,12 +131,24 @@ class Trainer:
         if self.state is None:
             self.init_state(sample)
 
+        start_epoch = 0
+        if resume:
+            last = os.path.join(cfg.ckpt_dir, "last")
+            if (os.path.isdir(os.path.abspath(last) + ".orbax")
+                    or os.path.exists(last + ".msgpack")):
+                self.state, meta = restore_checkpoint(last, self.state)
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                self.best = {"val_acc": meta.get("accuracy", -1.0),
+                             "epoch": meta.get("epoch", -1)}
+                self.logger.info(
+                    f"resumed from last checkpoint at epoch {start_epoch}")
+
         dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
         best_val_loss = float("inf")
         patience_left = cfg.patience
         history = []
 
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(start_epoch, cfg.max_epochs):
             frozen = bool(cfg.freeze_nfp and epoch < cfg.unfreeze_epoch)
             t0 = time.perf_counter()
             cm = init_confusion(self.num_classes)
