@@ -220,12 +220,14 @@ class NFPConvOnlyHead(nn.Module):
     radius: int = 1
     measure: str = "cosine"
     padding: Optional[int] = None
+    stride: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.radius if self.padding is None else self.padding
-        m = nfp(x, self.radius, self.measure, padding=pad)
+        m = nfp(x, self.radius, self.measure, padding=pad,
+                stride=self.stride)
         m = _ConvBNReLU(self.bottleneck_dim, self.dtype, name="compress")(m, train)
         return gap2d(m)
 
@@ -238,13 +240,15 @@ class NFPConvMLPHead(nn.Module):
     radius: int = 1
     measure: str = "cosine"
     padding: Optional[int] = None
+    stride: int = 1
     dropout_p: float = 0.2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         pad = self.radius if self.padding is None else self.padding
-        m = nfp(x, self.radius, self.measure, padding=pad)
+        m = nfp(x, self.radius, self.measure, padding=pad,
+                stride=self.stride)
         m = _ConvBNReLU(self.bottleneck_dim, self.dtype, name="compress")(m, train)
         v = gap2d(m)
         w = nn.Dense(self.bottleneck_dim // 2, dtype=self.dtype, name="mlp1")(v)

@@ -55,10 +55,12 @@ from .heads import (
     MultiRadiusNFPHead,
     NFPConvMLPHead,
     NFPConvOnlyHead,
+    NFPHeadMLP,
     NFPPoolingHead,
     NFPProject,
     RADAMHead,
     SEGateHead,
+    SimilarityAwarePooling,
     gap2d,
 )
 from ..ops import nfp
@@ -89,6 +91,10 @@ _LEGACY_GRID = (
     "gap_mlp", "nfp_conv_only", "nfp_conv_mlp",
     "gap_nfp_conv_nomlp_concat", "gap_nfp_noconv_nomlp_concat",
     "gap_nfp_conv_mlp_concat", "gap_nfp_noconv_mlp_concat",
+    # backbone -> NFPHead(MLP fusion) -> fc: the *WithNFPHead models
+    # (vittiny_models_new.py:9-68) and the NFPHead building block
+    # (nfp_heads.py:11-46), as a variant for every backbone
+    "nfp_head", "multi_radius_nfp", "similarity_aware_pooling",
 )
 
 #: allowed variants per model type (``demo.py:148-215`` incl. commented grid)
@@ -259,11 +265,13 @@ class TextureModel(nn.Module):
         if variant == "nfp_conv_only":
             return fc(512)(NFPConvOnlyHead(
                 512, self.nfp_radius, self.measure, padding=self.nfp_padding,
-                dtype=self.dtype, name="head")(fmap, train))
+                stride=self.nfp_stride, dtype=self.dtype,
+                name="head")(fmap, train))
         if variant == "nfp_conv_mlp":
             return fc(512)(NFPConvMLPHead(
                 512, self.nfp_radius, self.measure, padding=self.nfp_padding,
-                dtype=self.dtype, name="head")(fmap, train))
+                stride=self.nfp_stride, dtype=self.dtype,
+                name="head")(fmap, train))
         if variant.startswith("gap_nfp_"):
             use_conv = "noconv" not in variant
             use_mlp = "nomlp" not in variant
@@ -276,6 +284,23 @@ class TextureModel(nn.Module):
             return fc(feat_dim)(SEGateHead(
                 512, self.nfp_radius, self.measure, dtype=self.dtype,
                 name="head")(fmap, train))
+        if variant == "nfp_head":
+            # param path contains "nfp_head" so the freeze schedule applies
+            pooled = NFPHeadMLP(512, self.nfp_radius, self.measure,
+                                self.dtype, name="nfp_head")(fmap, train)
+            return fc(512)(pooled)
+        if variant == "multi_radius_nfp":
+            # bottleneck must equal C for the SE-gated residual fusion
+            # (the reference head assumes in_c == 512, nfp_heads.py:117)
+            pooled = MultiRadiusNFPHead(
+                feat_dim, measure=self.measure, dtype=self.dtype,
+                name="head")(fmap, train)
+            return fc(pooled.shape[-1])(pooled)
+        if variant == "similarity_aware_pooling":
+            pooled = SimilarityAwarePooling(
+                self.nfp_radius, self.measure, padding=self.nfp_padding,
+                dtype=self.dtype, name="head")(fmap, train)
+            return fc(pooled.shape[-1])(pooled)
         raise ValueError(f"Unhandled variant {variant!r}")
 
 

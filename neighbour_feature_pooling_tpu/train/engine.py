@@ -77,11 +77,29 @@ def freeze_mask(params, substrings: Tuple[str, ...] = ("nfp_head", "se_gate")):
 
 
 def create_train_state(model, rng: jax.Array, sample_batch: Dict[str, jax.Array],
-                       learning_rate: float) -> TrainState:
-    """Initialize params/batch_stats and an Adam optimizer."""
+                       learning_rate: float, scheduler: str = "none",
+                       total_steps: int = 0) -> TrainState:
+    """Initialize params/batch_stats and an Adam optimizer.
+
+    ``scheduler``: ``none`` (reference default, Lightning_Wrapper.py:69-79),
+    ``cosine`` (decay over ``total_steps``), or ``plateau`` (the optimizer's
+    learning rate is exposed via ``inject_hyperparams`` so the trainer can
+    reduce it when ``val_loss`` plateaus, torch ReduceLROnPlateau-style).
+    """
     variables = model.init({"params": rng}, sample_batch["image"][:1],
                            train=False)
-    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    if scheduler == "cosine":
+        if total_steps <= 0:
+            raise ValueError("cosine scheduler needs total_steps > 0")
+        sched = optax.cosine_decay_schedule(learning_rate, total_steps)
+        tx = optax.adam(sched, b1=0.9, b2=0.999, eps=1e-8)
+    elif scheduler == "plateau":
+        tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    elif scheduler == "none":
+        tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        raise ValueError(f"unknown scheduler {scheduler!r}")
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

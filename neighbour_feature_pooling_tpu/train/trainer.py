@@ -53,6 +53,9 @@ class TrainerConfig:
     label_smoothing: float = 0.05
     freeze_nfp: bool = True     # demo.py:376-377
     unfreeze_epoch: int = 5
+    scheduler: str = "none"     # none | cosine | plateau
+    scheduler_patience: int = 10   # torch ReduceLROnPlateau default
+    scheduler_factor: float = 0.1
     log_dir: str = "logs/run"
     ckpt_dir: str = "checkpoints/run"
     log_every_n_steps: int = 1
@@ -104,12 +107,14 @@ class Trainer:
                      for k, v in batch.items()}
         return batch
 
-    def init_state(self, sample_batch) -> TrainState:
+    def init_state(self, sample_batch, total_steps: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed)
         state = create_train_state(self.model, rng,
                                    {k: jnp.asarray(v)
                                     for k, v in sample_batch.items()},
-                                   self.config.learning_rate)
+                                   self.config.learning_rate,
+                                   scheduler=self.config.scheduler,
+                                   total_steps=total_steps)
         if self.mesh is not None:
             rep = replicated_sharding(self.mesh)
             state = jax.tree_util.tree_map(
@@ -129,7 +134,12 @@ class Trainer:
         datamodule.setup("fit")
         sample = next(iter(datamodule.train_batches(0)))
         if self.state is None:
-            self.init_state(sample)
+            total_steps = 0
+            if cfg.scheduler == "cosine" and hasattr(datamodule, "split_size"):
+                bs = sample["image"].shape[0]
+                steps_per_epoch = -(-datamodule.split_size("train") // bs)
+                total_steps = steps_per_epoch * cfg.max_epochs
+            self.init_state(sample, total_steps=total_steps)
 
         start_epoch = 0
         if resume:
@@ -146,6 +156,8 @@ class Trainer:
         dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
         best_val_loss = float("inf")
         patience_left = cfg.patience
+        sched_best = float("inf")
+        sched_wait = 0
         history = []
 
         for epoch in range(start_epoch, cfg.max_epochs):
@@ -185,6 +197,21 @@ class Trainer:
                                 {"epoch": epoch, **val_metrics})
             save_checkpoint(os.path.join(cfg.ckpt_dir, "last"), self.state,
                             {"epoch": epoch, **val_metrics})
+
+            # ReduceLROnPlateau on val_loss (Lightning_Wrapper.py:71-78)
+            if cfg.scheduler == "plateau":
+                if val_metrics["loss"] < sched_best - 1e-8:
+                    sched_best = val_metrics["loss"]
+                    sched_wait = 0
+                else:
+                    sched_wait += 1
+                    if sched_wait > cfg.scheduler_patience:
+                        hp = self.state.opt_state.hyperparams
+                        new_lr = float(hp["learning_rate"]) * cfg.scheduler_factor
+                        hp["learning_rate"] = jnp.asarray(new_lr,
+                                                          jnp.float32)
+                        sched_wait = 0
+                        self.logger.info(f"plateau: lr -> {new_lr:.2e}")
 
             # EarlyStopping on val_loss (demo.py:393-399)
             if val_metrics["loss"] < best_val_loss - cfg.min_delta:

@@ -48,7 +48,8 @@ def test_forward_shape(model_type, variant):
     # CLI-padding legacy variants default to padding=0, which needs ≥3×3
     # feature maps; small test inputs produce 2×2, so use "same" padding.
     kwargs = {}
-    if variant in ("nfp_conv_only", "nfp_conv_mlp", "nfp_at_layer"):
+    if variant in ("nfp_conv_only", "nfp_conv_mlp", "nfp_at_layer",
+                   "similarity_aware_pooling"):
         kwargs["nfp_padding"] = 1
     model = get_model(model_type, variant, NUM_CLASSES, **kwargs)
     logits, variables = _init_and_forward(model, x)

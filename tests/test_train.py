@@ -108,3 +108,33 @@ def test_early_stopping(tmp_path):
     result = trainer.fit(dm)
     # epoch 0 sets the best; patience 2 -> stops at epoch 2 (3 epochs total)
     assert len(result["history"]) <= 4
+
+
+def test_scheduler_cosine_and_plateau(tmp_path):
+    import jax.numpy as jnp
+
+    from neighbour_feature_pooling_tpu.data import SyntheticDataModule
+    from neighbour_feature_pooling_tpu.models import get_model
+
+    dm = SyntheticDataModule(num_classes=2, num_samples=32, image_size=16,
+                             batch_size=16)
+    model = get_model("resnet18", "gap_only", 2)
+
+    # cosine: trains without error
+    cfg = TrainerConfig(learning_rate=1e-3, max_epochs=2, patience=10,
+                        scheduler="cosine",
+                        log_dir=str(tmp_path / "lc"),
+                        ckpt_dir=str(tmp_path / "cc"), freeze_nfp=False)
+    Trainer(model, 2, cfg).fit(dm)
+
+    # plateau: lr must drop when val_loss cannot improve (lr=0 -> constant,
+    # patience 0 -> reduce every epoch after the first)
+    cfg = TrainerConfig(learning_rate=1e-3, max_epochs=4, patience=100,
+                        min_delta=100.0, scheduler="plateau",
+                        scheduler_patience=0, scheduler_factor=0.5,
+                        log_dir=str(tmp_path / "lp"),
+                        ckpt_dir=str(tmp_path / "cp"), freeze_nfp=False)
+    tr = Trainer(model, 2, cfg)
+    tr.fit(dm)
+    lr = float(tr.state.opt_state.hyperparams["learning_rate"])
+    assert lr < 1e-3
