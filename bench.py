@@ -28,6 +28,9 @@ def measure_tpu(batch=BATCH, iters=30, warmup=5):
     import numpy as np
 
     from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     model = get_model("resnet18", "texture_nfp", 21)
     rng = np.random.default_rng(0)

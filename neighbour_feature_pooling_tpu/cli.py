@@ -160,6 +160,9 @@ def run_experiment(seed: int, config: Dict) -> float:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.dataset = _normalize_dataset(args.dataset)
     args.model_type = canonical_model_type(args.model_type)
