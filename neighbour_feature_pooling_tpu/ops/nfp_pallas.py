@@ -47,13 +47,19 @@ def pallas_supported(measure: str, stride: int) -> bool:
     return get_measure(measure).name != "mahalanobis" and stride == 1
 
 
-def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
-                p: float, eps: float, q_scs: float, dilation: int,
-                h_out: int, w_out: int, fuse_gap: bool):
+def _nfp_kernel_unrolled(x_ref, o_ref, *, radius: int, measure: str,
+                         similarity: bool, p: float, eps: float,
+                         q_scs: float, dilation: int, h_out: int,
+                         w_out: int, fuse_gap: bool):
+    """Whole-image kernel body for SMALL maps (texture-head 7×7/14×14).
+
+    Fully static slices, neighbors unrolled, one batch-block per program.
+    Mosaic handles the live ranges fine at these sizes; large maps run out
+    of scoped VMEM here and take the strip-mined body below instead.
+    """
     m = get_measure(measure)
     cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
-    xp = x_ref[...].astype(jnp.float32)  # (BB, Hp, Wp, C) VMEM tile
-
+    xp = x_ref[...].astype(jnp.float32)  # (BB, Hp, Wp, C)
     r = radius * dilation
     center = xp[:, r:r + h_out, r:r + w_out, :]
 
@@ -62,16 +68,78 @@ def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
         hi, wj = i * dilation, j * dilation
         nb = xp[:, hi:hi + h_out, wj:wj + w_out, :]
         cols.append(m.pairwise(center, nb, -1, cfg))  # (BB, H', W')
-    out = jnp.stack(cols, axis=-1)  # (BB, H', W', N)
+    out = jnp.stack(cols, axis=1)  # (BB, N, H', W')
 
     if m.needs_softmax_over_neighbors:
-        out = jax.nn.softmax(out, axis=-1)
+        out = jax.nn.softmax(out, axis=1)
     out = m.finalize(out, similarity)
 
     if fuse_gap:
-        o_ref[:, 0, :] = jnp.mean(out, axis=(1, 2)).astype(o_ref.dtype)
+        acc = jnp.sum(jnp.sum(out, axis=3, keepdims=True),
+                      axis=2, keepdims=True)  # (BB, N, 1, 1)
+        o_ref[:, 0, :] = (acc[:, :, 0, 0]
+                          / float(h_out * w_out)).astype(o_ref.dtype)
     else:
         o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
+                p: float, eps: float, q_scs: float, dilation: int,
+                h_out: int, w_out: int, fuse_gap: bool, strip: int):
+    """Strip-mined NFP kernel body.
+
+    Everything is STATIC — the H axis is processed in strips of ``strip``
+    rows with the 8-neighbor comparisons unrolled per strip, so only one
+    strip's elementwise temporaries are ever live (an unrolled full-map
+    kernel runs out of scoped VMEM at 112×112: 73 MB vs the 16 MB limit)
+    and no dynamic indexing is required (dynamic lane stores and one-hot
+    accumulation both hit Mosaic relayout limitations).
+    """
+    m = get_measure(measure)
+    cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
+    r = radius * dilation
+    offsets = neighbor_offsets(radius)
+    n = len(offsets)
+    bb = x_ref.shape[0]
+    n_strips = h_out // strip  # strip divides h_out (chosen by the caller)
+
+    def strip_body(si, sums):
+        h0 = si * strip
+        center = x_ref[:, pl.ds(r + h0, strip), r: r + w_out, :].astype(
+            jnp.float32)
+        parts = []
+        for ni, (i, j) in enumerate(offsets):  # static unroll, k²−1
+            wj = j * dilation
+            nb = x_ref[:, pl.ds(i * dilation + h0, strip),
+                       wj: wj + w_out, :].astype(jnp.float32)
+            col = m.pairwise(center, nb, -1, cfg)  # (BB, strip, W')
+            if fuse_gap:
+                # two single-axis keepdims reductions: Mosaic cannot lower
+                # a multi-trailing-dim reduce fused with the channel reduce
+                parts.append(jnp.sum(jnp.sum(col, axis=2, keepdims=True),
+                                     axis=1, keepdims=True))  # (BB, 1, 1)
+            else:
+                if not m.needs_softmax_over_neighbors:
+                    col = m.finalize(col, similarity)
+                o_ref[:, ni, pl.ds(h0, strip), :] = col.astype(o_ref.dtype)
+        if fuse_gap:
+            return sums + jnp.concatenate(parts, axis=-1)  # (BB, 1, N)
+        return sums
+
+    sums0 = jnp.zeros((bb, 1, n), jnp.float32)
+    sums = jax.lax.fori_loop(0, n_strips, strip_body, sums0)
+
+    if fuse_gap:
+        acc = sums[:, 0, :] / float(h_out * w_out)  # (BB, N)
+        o_ref[:, 0, :] = m.finalize(acc, similarity).astype(o_ref.dtype)
+        return
+
+    # attention epilogue: softmax over neighbors, then the sign convention
+    # (fuse_gap + attention is routed to the non-fused kernel by the caller:
+    # mean-of-softmax != softmax-of-mean)
+    if m.needs_softmax_over_neighbors:
+        out = jax.nn.softmax(o_ref[...].astype(jnp.float32), axis=1)
+        o_ref[...] = m.finalize(out, similarity).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -96,6 +164,14 @@ def nfp_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Run the fused NFP(+GAP) kernel on an NHWC feature map (stride 1)."""
+    if fuse_gap and get_measure(measure).needs_softmax_over_neighbors:
+        # attention: softmax is per-position, so the texture map must exist
+        # before pooling (mean-of-softmax != softmax-of-mean)
+        out = nfp_pallas(x, radius, measure, similarity=similarity, p=p,
+                         eps=eps, q_scs=q_scs, padding=padding,
+                         dilation=dilation, padding_mode=padding_mode,
+                         fuse_gap=False, interpret=interpret)
+        return jnp.mean(out, axis=(1, 2))
     b, h, w, c = x.shape
     n = num_neighbors(radius)
     h_out = nfp_output_size(h, radius, 1, padding, dilation)
@@ -110,14 +186,25 @@ def nfp_pallas(
 
     # Batch-block: one program handles BB images. Small feature maps (the
     # ResNet/ViT 7x7-14x14 heads) would otherwise launch B tiny programs and
-    # be dispatch-bound; target ~2 MB of input tile per program, bounded by
-    # an ~8 MB VMEM budget including the fp32 compute temporaries.
-    bytes_per_img = hp * wp * c * 4 * 3  # input + ~2 temporaries, fp32
-    bb_cap = max(1, (8 << 20) // max(bytes_per_img, 1))
+    # be dispatch-bound. Input-tile budget ~2 MB per program.
+    bytes_per_img = hp * wp * c * 4
+    bb_cap = max(1, (2 << 20) // max(bytes_per_img, 1))
     bb = 1
     for cand in range(min(b, bb_cap), 0, -1):
         if b % cand == 0:
             bb = cand
+            break
+
+    # Strip size: the kernel unrolls the k²−1 neighbor comparisons per
+    # H-strip, so ~24 strip-sized fp32 temporaries are live at once; keep
+    # them within ~4 MB of scoped VMEM. Must divide h_out (the strip loop
+    # is a fori_loop with a static trip count).
+    denom = 24 * bb * w_out * c * 4
+    cap = max(1, min(h_out, (4 << 20) // max(denom, 1)))
+    strip = 1
+    for cand in range(cap, 0, -1):
+        if h_out % cand == 0:
+            strip = cand
             break
 
     if fuse_gap:
@@ -127,16 +214,27 @@ def nfp_pallas(
         out_spec = pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        out_shape = jax.ShapeDtypeStruct((b, h_out, w_out, n), x.dtype)
-        out_spec = pl.BlockSpec((bb, h_out, w_out, n),
+        # neighbor-major layout (B, N, H', W'): the kernel's per-neighbor
+        # store then indexes a non-minor dim; transposed to NHWC below
+        out_shape = jax.ShapeDtypeStruct((b, n, h_out, w_out), x.dtype)
+        out_spec = pl.BlockSpec((bb, n, h_out, w_out),
                                 lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(
-        _nfp_kernel, radius=radius, measure=measure, similarity=similarity,
-        p=p, eps=eps, q_scs=q_scs, dilation=dilation, h_out=h_out,
-        w_out=w_out, fuse_gap=fuse_gap,
-    )
+    if h_out * w_out <= 256:
+        # small texture-head maps: whole-image unrolled body
+        kernel = functools.partial(
+            _nfp_kernel_unrolled, radius=radius, measure=measure,
+            similarity=similarity, p=p, eps=eps, q_scs=q_scs,
+            dilation=dilation, h_out=h_out, w_out=w_out, fuse_gap=fuse_gap,
+        )
+    else:
+        kernel = functools.partial(
+            _nfp_kernel, radius=radius, measure=measure,
+            similarity=similarity, p=p, eps=eps, q_scs=q_scs,
+            dilation=dilation, h_out=h_out, w_out=w_out, fuse_gap=fuse_gap,
+            strip=strip,
+        )
     flops_per_pair = 6  # rough: diff/mul + reduce + epilogue, per channel
     cost = pl.CostEstimate(
         flops=b * h_out * w_out * n * c * flops_per_pair,
@@ -151,11 +249,13 @@ def nfp_pallas(
         out_specs=out_spec,
         out_shape=out_shape,
         cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp)
     if fuse_gap:
-        out = out.reshape(b, n)
-    return out
+        return out.reshape(b, n)
+    return jnp.transpose(out, (0, 2, 3, 1))  # (B, H', W', N)
 
 
 # ---------------------------------------------------------------------------

@@ -165,8 +165,10 @@ class Trainer:
             t0 = time.perf_counter()
             cm = init_confusion(self.num_classes)
             loss_sum, nb = 0.0, 0
-            for batch in prefetch(iter(datamodule.train_batches(epoch))):
-                batch = self._put_batch(batch)
+            # device_put happens inside the prefetch thread so the host->
+            # device transfer of batch i+1 overlaps the device step of i
+            put = map(self._put_batch, datamodule.train_batches(epoch))
+            for batch in prefetch(put):
                 self.state, loss, cm_up = self._train_step(
                     self.state, batch, dropout_rng, frozen=frozen)
                 cm = cm + cm_up
@@ -231,8 +233,7 @@ class Trainer:
     def evaluate(self, batches: Iterator) -> Dict[str, float]:
         cm = init_confusion(self.num_classes)
         loss_sum, w_sum = 0.0, 0.0
-        for batch in prefetch(iter(batches)):
-            batch = self._put_batch(batch)
+        for batch in prefetch(map(self._put_batch, batches)):
             ls, ws, cm_up, _ = self._eval_step(self.state, batch)
             cm = cm + cm_up
             loss_sum += float(ls)
