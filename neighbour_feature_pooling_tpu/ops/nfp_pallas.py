@@ -1,13 +1,19 @@
 """Fused Pallas TPU kernel for Neighborhood Feature Pooling.
 
-One kernel program processes one image: the reflect-padded feature map tile
-lives in VMEM, the 8 (k²−1) neighbor comparisons are computed as static
-shifted slices of that tile, each channel reduction runs on the VPU, and the
-(H, W, N) texture map — or, with ``fuse_gap``, just its (N,) spatial mean — is
-written out. The (B, H, W, N, C) neighbor tensor the PyTorch reference
+One kernel program processes a VMEM-budgeted block of images: the
+reflect-padded feature tiles live in VMEM, the k²−1 neighbor comparisons are
+shifted slices of those tiles, each channel reduction runs on the VPU, and
+the texture map — or, with ``fuse_gap``, just its per-neighbor spatial mean —
+is written out. The (B, H, W, N, C) neighbor tensor the PyTorch reference
 materializes in HBM (``/root/reference/models/pooling/nfp.py:42-47``; an 8×
 activation blow-up) never exists: everything between the feature map and the
 texture map stays in VMEM.
+
+Two kernel bodies, dispatched by map size (see CLAUDE.md "Mosaic lessons"):
+small texture-head maps (≤16×16 positions) use a fully-unrolled whole-image
+body; larger maps (multi-stage taps up to 112×112) use an H-strip
+``fori_loop`` body so only one strip's temporaries are live on the
+scoped-VMEM stack.
 
 The measure math is shared with the pure-XLA oracle (``measures.py``), so the
 kernel supports every registered measure except ``mahalanobis`` (needs
