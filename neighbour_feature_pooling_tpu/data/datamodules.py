@@ -1,0 +1,613 @@
+"""Data modules: the L3 layer of the framework.
+
+Re-implements the contract of the reference's Lightning DataModules —
+both the shipped ones (``/root/reference/DataModules.py``) and the five
+ACTIVE modules whose file is missing from the reference snapshot
+(``datasetsnew.DataModules``, imported at ``demo.py:26``; contract
+reconstructed from the call sites, SURVEY §2.3):
+
+* ``prepare_data()`` / ``setup(stage)`` lifecycle;
+* per-split batch sizes via a ``{'train','val','test'}`` dict;
+* ``num_classes`` / ``num_input_channels`` attributes;
+* ``print_first_batch_shape()`` debug hook (``demo.py:246-247``).
+
+Batches are ``{"image": NHWC f32, "label": i32, "weight": f32}`` numpy dicts;
+the last batch of a split is zero-padded with ``weight=0`` so every step has
+a static shape under jit.
+
+Dataset registry (``demo.py:479-502``): UCMerced 21, RESISC45 45, MSTAR 6,
+cifar10 10, GTOS-Mobile 31, PlantVillage 38, EuroSAT 10 (13 bands). In this
+offline environment downloads are impossible; folder-backed modules read
+standard class-subfolder trees from ``data_dir`` and raise a clear error
+otherwise, and ``SyntheticDataModule`` provides a zero-dependency stand-in
+for smoke training and benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .transforms import TransformConfig, eval_transform, train_transform
+
+__all__ = [
+    "Batch",
+    "DataModule",
+    "ArrayDataModule",
+    "SyntheticDataModule",
+    "FolderDataModule",
+    "UCMercedDataModule",
+    "RESISC45DataModule",
+    "GTOSMobileDataModule",
+    "PlantVillageDataModule",
+    "EuroSATDataModule",
+    "MSTARDataModule",
+    "SugarcaneDamageUSADataModule",
+    "CIFAR10DataModule",
+    "FashionMNISTDataModule",
+    "DATASET_NUM_CLASSES",
+    "get_datamodule",
+]
+
+Batch = Dict[str, np.ndarray]
+
+#: ``demo.py:494-502`` (PlantVillage: 38 per the CLI table; the conflicting
+#: 15 in the Params dict at demo.py:287 is a reference inconsistency).
+DATASET_NUM_CLASSES = {
+    "UCMerced": 21,
+    "RESISC45": 45,
+    "MSTAR": 6,
+    "cifar10": 10,
+    "GTOS-Mobile": 31,
+    "PlantVillage": 38,
+    "EuroSAT": 10,
+    "synthetic": 4,
+}
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp", ".gif")
+
+
+def _pad_batch(images: np.ndarray, labels: np.ndarray, batch_size: int) -> Batch:
+    n = images.shape[0]
+    weight = np.ones((batch_size,), np.float32)
+    if n < batch_size:
+        pad = batch_size - n
+        images = np.concatenate(
+            [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
+        weight[n:] = 0.0
+    return {"image": images.astype(np.float32),
+            "label": labels.astype(np.int32), "weight": weight}
+
+
+class DataModule:
+    """Base lifecycle + iteration API."""
+
+    num_classes: int = 0
+    num_input_channels: int = 3
+
+    def prepare_data(self) -> None:  # downloads in the reference; no-op here
+        pass
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        raise NotImplementedError
+
+    def train_batches(self, epoch: int = 0) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def val_batches(self) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def test_batches(self) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def print_first_batch_shape(self) -> None:  # demo.py:246-247
+        batch = next(iter(self.train_batches()))
+        print(f"First batch image shape: {batch['image'].shape}, "
+              f"labels: {batch['label'].shape}")
+
+
+@dataclasses.dataclass
+class _Split:
+    images: List  # lazily decoded items (np arrays or file paths)
+    labels: np.ndarray
+
+
+class ArrayDataModule(DataModule):
+    """In-memory dataset with the reference transform pipeline."""
+
+    def __init__(self, num_classes: int, batch_size=32, num_workers: int = 0,
+                 transform: Optional[TransformConfig] = None, seed: int = 42,
+                 num_input_channels: int = 3):
+        self.num_classes = num_classes
+        self.num_input_channels = num_input_channels
+        if isinstance(batch_size, int):
+            batch_size = {"train": batch_size, "val": batch_size,
+                          "test": batch_size}
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.transform = transform or TransformConfig()
+        self.seed = seed
+        self._splits: Dict[str, _Split] = {}
+
+    # -- subclasses fill self._splits in setup() --
+
+    def _decode(self, item) -> np.ndarray:
+        """item -> HWC float32 in [0, 1]."""
+        if isinstance(item, np.ndarray):
+            return item
+        from PIL import Image
+
+        with Image.open(item) as im:
+            arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        return arr
+
+    #: "auto" = use the native C++ augment kernel when the library builds;
+    #: False = always the python/PIL path (the parity oracle).
+    use_native: object = "auto"
+
+    def _native_enabled(self) -> bool:
+        if self.use_native is False:
+            return False
+        try:
+            from .. import native  # noqa: PLC0415
+
+            return native.native_available()
+        except Exception:
+            return False
+
+    def _iter(self, split: str, shuffle: bool, epoch: int) -> Iterator[Batch]:
+        sp = self._splits[split]
+        n = len(sp.images)
+        bs = self.batch_size[split if split in self.batch_size else "test"]
+        order = np.arange(n)
+        rng = np.random.default_rng(self.seed * 1_000_003 + epoch)
+        if shuffle:
+            rng.shuffle(order)
+        native_ok = self._native_enabled()
+        for start in range(0, n, bs):
+            idx = order[start: start + bs]
+            raw = [self._decode(sp.images[i]) for i in idx]
+            if native_ok:
+                imgs = self._augment_native(raw, shuffle, rng)
+            else:
+                imgs = np.stack([
+                    train_transform(img, self.transform, rng) if shuffle
+                    else eval_transform(img, self.transform)
+                    for img in raw])
+            yield _pad_batch(imgs, sp.labels[idx], bs)
+
+    def _augment_native(self, raw, train: bool,
+                        rng: np.random.Generator) -> np.ndarray:
+        """Single fused crop+resize+flip+normalize batch call (C++)."""
+        from .. import native  # noqa: PLC0415
+        from .transforms import plan_eval, plan_train  # noqa: PLC0415
+
+        cfg = self.transform
+        crops, flips = [], []
+        for img in raw:
+            if train:
+                box, flip = plan_train(img.shape[:2], cfg, rng)
+            else:
+                box, flip = plan_eval(img.shape[:2], cfg), 0
+            crops.append(box)
+            flips.append(flip)
+        c = raw[0].shape[2]
+        mean = np.asarray(cfg.mean, np.float32)
+        std = np.asarray(cfg.std, np.float32)
+        if mean.size != c:
+            mean = np.full((c,), float(mean.mean()), np.float32)
+            std = np.full((c,), float(std.mean()), np.float32)
+        return native.augment_batch(
+            raw, np.asarray(crops, np.int32), np.asarray(flips, np.int32),
+            (cfg.input_size, cfg.input_size), mean, std,
+            num_threads=max(self.num_workers, 1) if self.num_workers else 0)
+
+    def train_batches(self, epoch: int = 0) -> Iterator[Batch]:
+        return self._iter("train", True, epoch)
+
+    def val_batches(self) -> Iterator[Batch]:
+        return self._iter("val", False, 0)
+
+    def test_batches(self) -> Iterator[Batch]:
+        return self._iter("test", False, 0)
+
+    def split_size(self, split: str) -> int:
+        return len(self._splits[split].images)
+
+
+class SyntheticDataModule(ArrayDataModule):
+    """Deterministic synthetic texture-classification data.
+
+    Class k is a sinusoidal grating with class-dependent frequency and
+    orientation plus noise — learnable in a couple of epochs, making it the
+    smoke-train and benchmark workload in this offline environment.
+    """
+
+    def __init__(self, num_classes: int = 4, num_samples: int = 256,
+                 image_size: int = 64, num_input_channels: int = 3,
+                 batch_size=32, seed: int = 42, **kw):
+        transform = kw.pop("transform", TransformConfig(
+            resize_size=image_size, input_size=image_size,
+            mean=(0.5,) * num_input_channels, std=(0.5,) * num_input_channels,
+            scale_range=(0.9, 1.0)))
+        super().__init__(num_classes, batch_size, transform=transform,
+                         seed=seed, num_input_channels=num_input_channels, **kw)
+        self.num_samples = num_samples
+        self.image_size = image_size
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        if self._splits:
+            return
+        rng = np.random.default_rng(self.seed)
+        s, c = self.image_size, self.num_input_channels
+        yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        images, labels = [], []
+        for i in range(self.num_samples):
+            k = i % self.num_classes
+            freq = 0.15 + 0.2 * k
+            theta = np.pi * k / self.num_classes + rng.normal(0, 0.08)
+            phase = rng.uniform(0, 2 * np.pi)
+            wave = np.sin(freq * (np.cos(theta) * xx + np.sin(theta) * yy)
+                          + phase)
+            img = 0.5 + 0.35 * wave[..., None] + rng.normal(0, 0.15, (s, s, c))
+            images.append(np.clip(img, 0, 1).astype(np.float32))
+            labels.append(k)
+        images = np.stack(images)
+        labels = np.asarray(labels, np.int64)
+        n = len(images)
+        n_train, n_val = int(0.7 * n), int(0.15 * n)
+        self._splits = {
+            "train": _Split(list(images[:n_train]), labels[:n_train]),
+            "val": _Split(list(images[n_train:n_train + n_val]),
+                          labels[n_train:n_train + n_val]),
+            "test": _Split(list(images[n_train + n_val:]),
+                           labels[n_train + n_val:]),
+        }
+
+
+class FolderDataModule(ArrayDataModule):
+    """Class-subfolder image tree: ``data_dir/<class_name>/*.{jpg,png,tif}``.
+
+    The layout of UCMerced/RESISC45/PlantVillage/GTOS-Mobile distributions.
+    Stratified 70/10/20 split with a fixed seed (the reference's
+    sugarcane module convention, ``DataModules.py:145-209``).
+    """
+
+    dataset_name = "folder"
+
+    def __init__(self, data_dir: str, num_classes: Optional[int] = None,
+                 resize_size: int = 256, input_size: int = 224,
+                 batch_size=32, num_workers: int = 0, seed: int = 42,
+                 split: Tuple[float, float, float] = (0.7, 0.1, 0.2), **kw):
+        transform = kw.pop("transform", TransformConfig(
+            resize_size=resize_size, input_size=input_size))
+        super().__init__(num_classes or 0, batch_size, num_workers,
+                         transform, seed, **kw)
+        self.data_dir = data_dir
+        self.split = split
+        self.class_names: List[str] = []
+
+    def _scan(self) -> Tuple[List[str], List[int]]:
+        if not self.data_dir or not os.path.isdir(self.data_dir):
+            raise FileNotFoundError(
+                f"{type(self).__name__}: data_dir {self.data_dir!r} not "
+                f"found. This offline build cannot download "
+                f"{self.dataset_name}; provide a class-subfolder tree or use "
+                f"--dataset synthetic.")
+        classes = sorted(
+            d for d in os.listdir(self.data_dir)
+            if os.path.isdir(os.path.join(self.data_dir, d)))
+        paths, labels = [], []
+        for li, cls in enumerate(classes):
+            cdir = os.path.join(self.data_dir, cls)
+            for fn in sorted(os.listdir(cdir)):
+                if fn.lower().endswith(_IMG_EXTS):
+                    paths.append(os.path.join(cdir, fn))
+                    labels.append(li)
+        if not paths:
+            raise FileNotFoundError(
+                f"{type(self).__name__}: no images under {self.data_dir!r}")
+        self.class_names = classes
+        return paths, labels
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        if self._splits:
+            return
+        paths, labels = self._scan()
+        labels = np.asarray(labels, np.int64)
+        if not self.num_classes:
+            self.num_classes = int(labels.max()) + 1
+        rng = np.random.default_rng(self.seed)
+        tr_idx, va_idx, te_idx = [], [], []
+        for c in range(self.num_classes):
+            idx = np.where(labels == c)[0]
+            rng.shuffle(idx)
+            n = len(idx)
+            n_tr = int(self.split[0] * n)
+            n_va = int(self.split[1] * n)
+            tr_idx.extend(idx[:n_tr])
+            va_idx.extend(idx[n_tr:n_tr + n_va])
+            te_idx.extend(idx[n_tr + n_va:])
+        mk = lambda ids: _Split([paths[i] for i in ids], labels[list(ids)])  # noqa: E731
+        self._splits = {"train": mk(tr_idx), "val": mk(va_idx),
+                        "test": mk(te_idx)}
+
+
+class UCMercedDataModule(FolderDataModule):
+    """UCMerced LandUse, 21 classes, 256px TIFFs (``demo.py:88-95``)."""
+
+    dataset_name = "UCMerced"
+
+    def __init__(self, resize_size=256, input_size=224, data_dir=None,
+                 batch_size=32, num_workers: int = 0, **kw):
+        super().__init__(data_dir, 21, resize_size, input_size, batch_size,
+                         num_workers, **kw)
+
+
+class RESISC45DataModule(FolderDataModule):
+    """NWPU-RESISC45, 45 classes (``demo.py:96-103``)."""
+
+    dataset_name = "RESISC45"
+
+    def __init__(self, resize_size=256, input_size=224, data_dir=None,
+                 batch_size=32, num_workers: int = 0, **kw):
+        super().__init__(data_dir, 45, resize_size, input_size, batch_size,
+                         num_workers, **kw)
+
+
+class GTOSMobileDataModule(FolderDataModule):
+    """GTOS-Mobile ground-terrain dataset, 31 classes; exposes
+    ``num_classes`` after setup (``demo.py:120-127``)."""
+
+    dataset_name = "GTOS-Mobile"
+
+    def __init__(self, batch_size=32, num_workers: int = 0, data_dir=None,
+                 resize_size=256, input_size=224, **kw):
+        super().__init__(data_dir, 31, resize_size, input_size, batch_size,
+                         num_workers, **kw)
+
+
+class PlantVillageDataModule(FolderDataModule):
+    """PlantVillage leaf-disease dataset, 38 classes (``demo.py:128-136``;
+    the reference's Params table says 15 — a documented inconsistency, we use
+    the CLI table's 38 and adapt to whatever the folder tree holds)."""
+
+    dataset_name = "PlantVillage"
+
+    def __init__(self, batch_size=32, num_workers: int = 0, data_dir=None,
+                 resize_size=256, input_size=224, **kw):
+        super().__init__(data_dir, None, resize_size, input_size, batch_size,
+                         num_workers, **kw)
+
+
+class EuroSATDataModule(FolderDataModule):
+    """EuroSAT, 10 classes. The multispectral distribution is 13-band
+    GeoTIFF; decoding uses tifffile/PIL multi-band support. RGB JPEG
+    distributions work out of the box (``demo.py:137-144, 224-228``)."""
+
+    dataset_name = "EuroSAT"
+
+    def __init__(self, resize_size=64, input_size=64, data_dir=None,
+                 batch_size=32, num_workers: int = 0, bands: int = 13, **kw):
+        kw.setdefault("transform", TransformConfig(
+            resize_size=resize_size, input_size=input_size,
+            mean=(0.5,), std=(0.5,)))
+        super().__init__(data_dir, 10, resize_size, input_size, batch_size,
+                         num_workers, **kw)
+        self.num_input_channels = bands
+
+    def _decode(self, item) -> np.ndarray:
+        if isinstance(item, np.ndarray):
+            return item
+        if str(item).lower().endswith((".tif", ".tiff")):
+            arr = _read_multiband_tiff(str(item))
+            if arr is not None:
+                # 13-band uint16 reflectance -> [0, 1]
+                arr = arr.astype(np.float32)
+                if arr.max() > 1.0:
+                    arr = arr / 10000.0
+                if arr.shape[2] != self.num_input_channels:
+                    arr = _adapt_bands(arr, self.num_input_channels)
+                return np.clip(arr, 0.0, 1.0)
+        img = super()._decode(item)
+        if img.shape[2] != self.num_input_channels:
+            img = _adapt_bands(img, self.num_input_channels)
+        return img
+
+
+def _read_multiband_tiff(path: str) -> Optional[np.ndarray]:
+    """Best-effort multi-band TIFF decode (rasterio is not in this image)."""
+    try:
+        import tifffile  # noqa: PLC0415
+
+        arr = tifffile.imread(path)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if arr.ndim == 3 and arr.shape[0] < arr.shape[2]:  # CHW -> HWC
+            arr = np.transpose(arr, (1, 2, 0))
+        return arr
+    except Exception:
+        return None
+
+
+def _adapt_bands(img: np.ndarray, bands: int) -> np.ndarray:
+    """Repeat/truncate channels, the timm ``in_chans`` adaptation convention."""
+    c = img.shape[2]
+    if c == bands:
+        return img
+    reps = int(np.ceil(bands / c))
+    return np.concatenate([img] * reps, axis=2)[:, :, :bands]
+
+
+class MSTARDataModule(FolderDataModule):
+    """MSTAR SAR target chips, 6 classes (``demo.py:104-111``; the reference
+    registry references a datamodule that was never shipped — NameError)."""
+
+    dataset_name = "MSTAR"
+
+    def __init__(self, resize_size=128, input_size=128, data_dir=None,
+                 batch_size=32, num_workers: int = 0, **kw):
+        super().__init__(data_dir, 6, resize_size, input_size, batch_size,
+                         num_workers, **kw)
+
+
+class SugarcaneDamageUSADataModule(FolderDataModule):
+    """sugarcane_damage_usa (AgML), 70/10/20 split
+    (``DataModules.py:145-209``; AgML is not in this image, so this reads the
+    extracted class-subfolder tree)."""
+
+    dataset_name = "sugarcane_damage_usa"
+
+    def __init__(self, resize_size=256, input_size=224, data_dir=None,
+                 batch_size=32, num_workers: int = 0, **kw):
+        super().__init__(data_dir, None, resize_size, input_size, batch_size,
+                         num_workers, split=(0.7, 0.1, 0.2), **kw)
+
+
+class CIFAR10DataModule(ArrayDataModule):
+    """CIFAR-10 from a local ``cifar-10-batches-py`` tree
+    (``DataModules.py:79-143``: 70/30 train/val split, test truncated to 100
+    samples — truncation replicated for parity)."""
+
+    def __init__(self, resize_size=36, input_size=32, data_dir=None,
+                 batch_size=32, num_workers: int = 0, **kw):
+        transform = kw.pop("transform", TransformConfig(
+            resize_size=resize_size, input_size=input_size,
+            mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)))
+        super().__init__(10, batch_size, num_workers, transform, **kw)
+        self.data_dir = data_dir
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        if self._splits:
+            return
+        import pickle
+
+        root = os.path.join(self.data_dir or "data", "cifar-10-batches-py")
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"CIFAR10DataModule: {root} not found (offline build cannot "
+                f"download; use --dataset synthetic)")
+        xs, ys = [], []
+        for i in range(1, 6):
+            with open(os.path.join(root, f"data_batch_{i}"), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.extend(d[b"labels"])
+        x = (np.concatenate(xs).reshape(-1, 3, 32, 32)
+             .transpose(0, 2, 3, 1).astype(np.float32) / 255.0)
+        y = np.asarray(ys, np.int64)
+        rng = np.random.default_rng(self.seed)
+        order = rng.permutation(len(x))
+        x, y = x[order], y[order]
+        n_tr = int(0.7 * len(x))
+        with open(os.path.join(root, "test_batch"), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xt = (d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+              .astype(np.float32) / 255.0)[:100]
+        yt = np.asarray(d[b"labels"], np.int64)[:100]
+        self._splits = {
+            "train": _Split(list(x[:n_tr]), y[:n_tr]),
+            "val": _Split(list(x[n_tr:]), y[n_tr:]),
+            "test": _Split(list(xt), yt),
+        }
+
+
+class FashionMNISTDataModule(ArrayDataModule):
+    """FashionMNIST from local IDX files (``DataModules.py:16-77``:
+    80/20 split, seed 42, 1→3 channel repeat for pretrained backbones)."""
+
+    def __init__(self, resize_size=36, input_size=32, data_dir=None,
+                 batch_size=32, num_workers: int = 0, **kw):
+        transform = kw.pop("transform", TransformConfig(
+            resize_size=resize_size, input_size=input_size,
+            mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)))
+        super().__init__(10, batch_size, num_workers, transform, **kw)
+        self.data_dir = data_dir
+
+    @staticmethod
+    def _read_idx(path: str) -> np.ndarray:
+        import gzip
+
+        op = gzip.open if path.endswith(".gz") else open
+        with op(path, "rb") as f:
+            data = f.read()
+        magic = int.from_bytes(data[:4], "big")
+        ndim = magic & 0xFF
+        dims = [int.from_bytes(data[4 + i * 4: 8 + i * 4], "big")
+                for i in range(ndim)]
+        return np.frombuffer(data, np.uint8,
+                             offset=4 + 4 * ndim).reshape(dims)
+
+    def setup(self, stage: Optional[str] = None) -> None:
+        if self._splits:
+            return
+        root = os.path.join(self.data_dir or "data", "FashionMNIST", "raw")
+        if not os.path.isdir(root):
+            raise FileNotFoundError(
+                f"FashionMNISTDataModule: {root} not found (offline build "
+                f"cannot download; use --dataset synthetic)")
+
+        def load(name):
+            for suffix in ("", ".gz"):
+                p = os.path.join(root, name + suffix)
+                if os.path.exists(p):
+                    return self._read_idx(p)
+            raise FileNotFoundError(name)
+
+        x = load("train-images-idx3-ubyte").astype(np.float32) / 255.0
+        y = load("train-labels-idx1-ubyte").astype(np.int64)
+        x = np.repeat(x[..., None], 3, axis=-1)
+        rng = np.random.default_rng(42)  # DataModules.py:61
+        order = rng.permutation(len(x))
+        x, y = x[order], y[order]
+        n_tr = int(0.8 * len(x))
+        xt = load("t10k-images-idx3-ubyte").astype(np.float32) / 255.0
+        yt = load("t10k-labels-idx1-ubyte").astype(np.int64)
+        xt = np.repeat(xt[..., None], 3, axis=-1)
+        self._splits = {
+            "train": _Split(list(x[:n_tr]), y[:n_tr]),
+            "val": _Split(list(x[n_tr:]), y[n_tr:]),
+            "test": _Split(list(xt), yt),
+        }
+
+
+def get_datamodule(dataset: str, config: Dict) -> DataModule:
+    """Dataset registry mirroring ``demo.py:87-146`` (+ synthetic)."""
+    common = dict(
+        resize_size=config.get("resize_size", 256),
+        input_size=config.get("input_size", 224),
+        data_dir=config.get("data_dir"),
+        batch_size=config.get("batch_size", 32),
+        num_workers=config.get("num_workers", 0),
+    )
+    if dataset == "UCMerced":
+        return UCMercedDataModule(**common)
+    if dataset == "RESISC45":
+        return RESISC45DataModule(**common)
+    if dataset == "GTOS-Mobile":
+        return GTOSMobileDataModule(**common)
+    if dataset == "PlantVillage":
+        return PlantVillageDataModule(**common)
+    if dataset == "EuroSAT":
+        return EuroSATDataModule(
+            bands=config.get("num_input_channels", 13), **common)
+    if dataset == "MSTAR":
+        return MSTARDataModule(**common)
+    if dataset == "sugarcane_damage_usa":
+        return SugarcaneDamageUSADataModule(**common)
+    if dataset == "cifar10":
+        return CIFAR10DataModule(**common)
+    if dataset == "FashionMNIST":
+        return FashionMNISTDataModule(**common)
+    if dataset == "synthetic":
+        return SyntheticDataModule(
+            num_classes=config.get("num_classes", 4),
+            num_samples=config.get("num_samples", 256),
+            image_size=config.get("input_size", 64),
+            num_input_channels=config.get("num_input_channels", 3),
+            batch_size=config.get("batch_size", 32))
+    raise ValueError(f"Unknown dataset: {dataset}")

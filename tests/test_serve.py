@@ -1,0 +1,50 @@
+"""Serving API tests: predictor compiles once, pads, restores checkpoints."""
+
+import numpy as np
+
+from neighbour_feature_pooling_tpu.serve import Predictor
+
+
+def test_predictor_basic():
+    p = Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
+                  input_size=32, resize_size=36)
+    rng = np.random.default_rng(0)
+    imgs = [rng.random((40, 44, 3)).astype(np.float32) for _ in range(6)]
+    out = p.predict(imgs)
+    assert out["probabilities"].shape == (6, 3)
+    assert out["label"].shape == (6,)
+    np.testing.assert_allclose(out["probabilities"].sum(-1), 1.0, atol=1e-5)
+
+
+def test_predictor_from_checkpoint(tmp_path):
+    import jax
+
+    from neighbour_feature_pooling_tpu.data import SyntheticDataModule
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.train import Trainer, TrainerConfig
+
+    dm = SyntheticDataModule(num_classes=2, num_samples=48, image_size=16,
+                             batch_size=16)
+    model = get_model("resnet18", "gap_only", 2)
+    trainer = Trainer(model, 2, TrainerConfig(
+        learning_rate=1e-3, max_epochs=2, patience=10,
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
+        freeze_nfp=False))
+    trainer.fit(dm)
+
+    p = Predictor("resnet18", "gap_only", num_classes=2, batch_size=8,
+                  input_size=16, resize_size=16,
+                  checkpoint=str(tmp_path / "ckpt" / "best"),
+                  transform=dm.transform)
+    # predictions from the restored checkpoint match trainer eval logits
+    batch = next(iter(dm.test_batches()))
+    out = p.predict(batch["image"], preprocessed=True)
+    state = trainer.state
+    from neighbour_feature_pooling_tpu.train.checkpoint import (
+        restore_checkpoint)
+    state, _ = restore_checkpoint(str(tmp_path / "ckpt" / "best"), state)
+    logits = model.apply({"params": state.params,
+                          "batch_stats": state.batch_stats},
+                         batch["image"], train=False)
+    want = np.asarray(jax.nn.softmax(logits, axis=-1))
+    np.testing.assert_allclose(out["probabilities"], want, atol=1e-5)

@@ -23,6 +23,10 @@ from tests.conftest import add_reference_to_path, reference_available
 
 torch = pytest.importorskip("torch")
 
+pytestmark = pytest.mark.skipif(
+    not reference_available(),
+    reason="PyTorch reference tree not mounted at /root/reference")
+
 if reference_available():
     add_reference_to_path()
 
