@@ -28,6 +28,16 @@ __all__ = ["build_parser", "run_experiment", "main"]
 
 _SUMMARY_PRINTED = False  # demo.py:76
 
+#: (resize_size, input_size) when the user does not pass the flags
+DATASET_DEFAULT_SIZES = {
+    "cifar10": (36, 32),        # DataModules.py:85-98
+    "FashionMNIST": (36, 32),   # DataModules.py:24-40
+    "EuroSAT": (64, 64),        # 64px tiles
+    "MSTAR": (128, 128),
+    "synthetic": (64, 64),
+}
+_FALLBACK_SIZES = (256, 224)    # demo.py:459-460
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -50,8 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_variant", type=str, default="gap_only",
                    choices=all_variants)
     p.add_argument("--batch_size", type=int, default=32)
-    p.add_argument("--resize_size", type=int, default=256)
-    p.add_argument("--input_size", type=int, default=224)
+    # None -> per-dataset default (DATASET_DEFAULT_SIZES); explicit wins.
+    # The reference hard-codes 256/224 for every dataset (demo.py:459-460),
+    # which silently upscales 32px CIFAR / 64px EuroSAT to 224.
+    p.add_argument("--resize_size", type=int, default=None)
+    p.add_argument("--input_size", type=int, default=None)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--min_delta", type=float, default=0.0001)
@@ -169,6 +182,12 @@ def main(argv: Optional[List[str]] = None) -> None:
     args.model_variant = args.model_variant.lower()
 
     num_classes = DATASET_NUM_CLASSES.get(args.dataset, 10)  # demo.py:494-503
+
+    default_sizes = DATASET_DEFAULT_SIZES.get(args.dataset, _FALLBACK_SIZES)
+    if args.resize_size is None:
+        args.resize_size = default_sizes[0]
+    if args.input_size is None:
+        args.input_size = default_sizes[1]
 
     config = {
         "name": args.name,

@@ -406,10 +406,14 @@ class EuroSATDataModule(FolderDataModule):
         if str(item).lower().endswith((".tif", ".tiff")):
             arr = _read_multiband_tiff(str(item))
             if arr is not None:
-                # 13-band uint16 reflectance -> [0, 1]
-                arr = arr.astype(np.float32)
-                if arr.max() > 1.0:
-                    arr = arr / 10000.0
+                # scale by source dtype: uint8 images are 0-255; uint16
+                # EuroSAT tiles are Sentinel-2 reflectance (0-10000 typical)
+                if arr.dtype == np.uint8:
+                    arr = arr.astype(np.float32) / 255.0
+                elif np.issubdtype(arr.dtype, np.integer):
+                    arr = arr.astype(np.float32) / 10000.0
+                else:
+                    arr = arr.astype(np.float32)
                 if arr.shape[2] != self.num_input_channels:
                     arr = _adapt_bands(arr, self.num_input_channels)
                 return np.clip(arr, 0.0, 1.0)

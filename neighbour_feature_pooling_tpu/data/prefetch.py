@@ -21,25 +21,44 @@ _END = object()
 
 
 def prefetch(it: Iterator[T], depth: int = 2) -> Iterator[T]:
-    """Run ``it`` in a daemon thread, buffering up to ``depth`` items."""
+    """Run ``it`` in a daemon thread, buffering up to ``depth`` items.
+
+    The producer polls a stop flag while blocked on the bounded queue, so it
+    exits promptly when the consumer stops iterating early (break, exception,
+    generator close) instead of pinning the iterator and its buffers forever.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     err = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in it:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # surface in the consumer
             err.append(e)
         finally:
-            q.put(_END)
+            _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

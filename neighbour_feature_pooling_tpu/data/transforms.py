@@ -35,10 +35,21 @@ class TransformConfig:
     scale_range: Tuple[float, float] = (0.8, 1.0)  # DataModules.py:26
 
 
-def _resize(img: np.ndarray, size: int) -> np.ndarray:
-    """Bilinear resize of an HWC float array so the short side == size."""
+def _resize_to(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """Bilinear (antialiased, PIL) resize to an exact (nh, nw)."""
     from PIL import Image
 
+    if (nh, nw) == img.shape[:2]:
+        return img
+    chans = []
+    for c in range(img.shape[2]):
+        pil = Image.fromarray(img[:, :, c], mode="F")
+        chans.append(np.asarray(pil.resize((nw, nh), Image.BILINEAR)))
+    return np.stack(chans, axis=2)
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear resize of an HWC float array so the short side == size."""
     h, w = img.shape[:2]
     if h == w:
         nh = nw = size
@@ -46,13 +57,7 @@ def _resize(img: np.ndarray, size: int) -> np.ndarray:
         nh, nw = size, int(round(w * size / h))
     else:
         nh, nw = int(round(h * size / w)), size
-    if (nh, nw) == (h, w):
-        return img
-    chans = []
-    for c in range(img.shape[2]):
-        pil = Image.fromarray(img[:, :, c], mode="F")
-        chans.append(np.asarray(pil.resize((nw, nh), Image.BILINEAR)))
-    return np.stack(chans, axis=2)
+    return _resize_to(img, nh, nw)
 
 
 def _center_crop(img: np.ndarray, size: int) -> np.ndarray:
@@ -74,7 +79,12 @@ def _normalize(img: np.ndarray, cfg: TransformConfig) -> np.ndarray:
 
 def train_transform(img: np.ndarray, cfg: TransformConfig,
                     rng: np.random.Generator) -> np.ndarray:
-    """Resize → RandomResizedCrop → HFlip → Normalize."""
+    """Resize → RandomResizedCrop → HFlip → Normalize.
+
+    The sampled crop box is stretched to (input_size, input_size) —
+    torchvision RandomResizedCrop semantics, and what the native fused
+    kernel does — not short-side-resized and re-cropped.
+    """
     img = _resize(img.astype(np.float32), cfg.resize_size)
     h, w = img.shape[:2]
     # RandomResizedCrop: sample area scale, aspect ~U(3/4, 4/3)
@@ -91,8 +101,7 @@ def train_transform(img: np.ndarray, cfg: TransformConfig,
             break
     else:
         img = _center_crop(img, min(h, w))
-    img = _resize(img, cfg.input_size)
-    img = _center_crop(img, cfg.input_size)
+    img = _resize_to(img, cfg.input_size, cfg.input_size)
     if cfg.hflip and rng.random() < 0.5:
         img = img[:, ::-1]
     return _normalize(np.ascontiguousarray(img), cfg)

@@ -20,8 +20,7 @@ import numpy as np
 
 from .data.transforms import TransformConfig, eval_transform
 from .models import get_model
-from .train.checkpoint import restore_checkpoint
-from .train.engine import create_train_state
+from .train.checkpoint import restore_for_inference
 
 __all__ = ["Predictor"]
 
@@ -48,18 +47,18 @@ class Predictor:
                                **(self.model_kwargs or {}))
         self.transform = self.transform or TransformConfig(
             resize_size=self.resize_size, input_size=self.input_size)
-        dummy = {
-            "image": jnp.zeros((1, self.input_size, self.input_size,
-                                self.num_input_channels), jnp.float32),
-            "label": jnp.zeros((1,), jnp.int32),
-            "weight": jnp.ones((1,), jnp.float32),
-        }
-        state = create_train_state(self.model, jax.random.PRNGKey(0), dummy,
-                                   learning_rate=0.0)
         if self.checkpoint:
-            state, _ = restore_checkpoint(self.checkpoint, state)
-        self._variables = {"params": state.params,
-                           "batch_stats": state.batch_stats}
+            # structure-free restore: works for checkpoints trained under
+            # any optimizer/scheduler configuration
+            params, batch_stats = restore_for_inference(self.checkpoint)
+        else:
+            dummy = jnp.zeros((1, self.input_size, self.input_size,
+                               self.num_input_channels), jnp.float32)
+            variables = self.model.init({"params": jax.random.PRNGKey(0)},
+                                        dummy, train=False)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+        self._variables = {"params": params, "batch_stats": batch_stats}
 
         @jax.jit
         def _forward(variables, images):
@@ -80,6 +79,10 @@ class Predictor:
         Returns ``{"probabilities": (N, K), "label": (N,)}``. Requests are
         chunked/padded to the compiled batch size.
         """
+        if len(images) == 0:
+            return {"probabilities": np.zeros((0, self.num_classes),
+                                              np.float32),
+                    "label": np.zeros((0,), np.int64)}
         x = (np.asarray(images, np.float32) if preprocessed
              else self.preprocess(images))
         n = x.shape[0]

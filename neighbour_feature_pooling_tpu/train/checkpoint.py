@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 
-__all__ = ["save_checkpoint", "restore_checkpoint"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "restore_for_inference"]
 
 
 def _tree_state(state) -> Dict[str, Any]:
@@ -65,3 +65,21 @@ def restore_checkpoint(path: str, state):
         step=restored["step"], params=restored["params"],
         batch_stats=restored["batch_stats"], opt_state=restored["opt_state"])
     return new_state, meta
+
+
+def restore_for_inference(path: str):
+    """Restore only (params, batch_stats) — structure-free, so checkpoints
+    written under ANY optimizer/scheduler configuration load (the full
+    restore requires a matching opt_state pytree)."""
+    orbax_path = os.path.abspath(path) + ".orbax"
+    if os.path.isdir(orbax_path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(orbax_path)
+    else:
+        import flax.serialization
+
+        with open(path + ".msgpack", "rb") as f:
+            restored = flax.serialization.msgpack_restore(f.read())
+    return restored["params"], restored["batch_stats"]

@@ -144,3 +144,34 @@ def test_prefetch_preserves_order_and_errors():
         for x in prefetch(boom()):
             out.append(x)
     assert out == [1]
+
+
+def test_prefetch_no_leak_on_early_exit():
+    import threading
+
+    from neighbour_feature_pooling_tpu.data import prefetch
+
+    before = threading.active_count()
+    for _ in range(5):
+        g = prefetch(iter(range(100)))
+        assert next(g) == 0
+        g.close()
+    import time
+    time.sleep(0.5)
+    # producers must have exited (allow 1 thread of slack for timing)
+    assert threading.active_count() <= before + 1
+
+
+def test_train_transform_stretches_crop():
+    # torchvision RandomResizedCrop semantics: non-square crops are
+    # stretched to the square target, not re-cropped
+    cfg = TransformConfig(resize_size=32, input_size=32,
+                          mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0),
+                          hflip=False, scale_range=(0.5, 0.5))
+    rng = np.random.default_rng(3)
+    img = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+    out = train_transform(img, cfg, rng)
+    assert out.shape == (32, 32, 3)
+    # with area scale 0.5 the crop has ~512 px; a stretched resize uses all
+    # of them; verify output is not a trivial center crop of the source
+    assert not np.allclose(out, img)

@@ -48,3 +48,33 @@ def test_predictor_from_checkpoint(tmp_path):
                          batch["image"], train=False)
     want = np.asarray(jax.nn.softmax(logits, axis=-1))
     np.testing.assert_allclose(out["probabilities"], want, atol=1e-5)
+
+
+def test_predict_empty():
+    p = Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
+                  input_size=16, resize_size=16)
+    out = p.predict([])
+    assert out["probabilities"].shape == (0, 3)
+    assert out["label"].shape == (0,)
+
+
+def test_predictor_restores_plateau_checkpoint(tmp_path):
+    from neighbour_feature_pooling_tpu.data import SyntheticDataModule
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.train import Trainer, TrainerConfig
+
+    dm = SyntheticDataModule(num_classes=2, num_samples=32, image_size=16,
+                             batch_size=16)
+    model = get_model("resnet18", "gap_only", 2)
+    trainer = Trainer(model, 2, TrainerConfig(
+        learning_rate=1e-3, max_epochs=1, patience=10, scheduler="plateau",
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
+        freeze_nfp=False))
+    trainer.fit(dm)
+    # inference-only restore must not care about the scheduler's opt_state
+    p = Predictor("resnet18", "gap_only", num_classes=2, batch_size=8,
+                  input_size=16, resize_size=16,
+                  checkpoint=str(tmp_path / "ckpt" / "best"))
+    batch = next(iter(dm.test_batches()))
+    out = p.predict(batch["image"], preprocessed=True)
+    assert out["probabilities"].shape[1] == 2
