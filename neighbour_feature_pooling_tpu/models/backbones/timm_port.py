@@ -71,11 +71,14 @@ def _linear(w: Array) -> Array:
 
 
 def adapt_in_chans(kernel_hwio: Array, in_chans: int) -> Array:
-    """timm's ``in_chans`` adaptation: repeat RGB filters cyclically and
-    rescale so activation magnitude is preserved."""
+    """timm's ``in_chans`` adaptation: grayscale gets the channel-summed
+    filter (luminance-like response); other counts repeat the filters
+    cyclically and rescale so activation magnitude is preserved."""
     h, w, c, o = kernel_hwio.shape
     if c == in_chans:
         return kernel_hwio
+    if in_chans == 1:
+        return kernel_hwio.sum(axis=2, keepdims=True)
     reps = int(np.ceil(in_chans / c))
     k = np.concatenate([kernel_hwio] * reps, axis=2)[:, :, :in_chans]
     return k * (c / in_chans)

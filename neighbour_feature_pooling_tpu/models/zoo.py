@@ -165,8 +165,9 @@ class TextureModel(nn.Module):
         feat_dim = NUM_FTRS[mt]
         backbone = self._backbone()
 
-        fc = lambda _dim: nn.Dense(  # noqa: E731
-            self.num_classes, dtype=self.dtype, name="fc")
+        def fc(_dim=None):
+            # input dim is inferred by nn.Dense; kept nullary-compatible
+            return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")
 
         # ---- mobilenetv3 structural variants need special backbone modes ----
         if variant == "texture_nfp_intermediate":

@@ -41,6 +41,15 @@ def gdcb_fractal_dim(x: jax.Array, nlv_bcd: int = NLV_BCD) -> jax.Array:
     """
     if x.ndim != 4:
         raise ValueError(f"gdcb_fractal_dim expects NHWC, got shape {x.shape}")
+    min_side = min(x.shape[1], x.shape[2])
+    if min_side < nlv_bcd:
+        # the reference's nn.MaxPool2d raises "Output size is too small" for
+        # the same configuration; fail loudly instead of regressing against
+        # zero-size pools
+        raise ValueError(
+            f"gdcb_fractal_dim needs a feature map of at least "
+            f"{nlv_bcd}x{nlv_bcd}, got {x.shape[1]}x{x.shape[2]} "
+            f"(increase input_size: the final CNN map is input_size/32)")
     dtype = jnp.promote_types(x.dtype, jnp.float32)
     xf = x.astype(dtype)
 

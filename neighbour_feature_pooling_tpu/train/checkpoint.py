@@ -26,17 +26,27 @@ def _tree_state(state) -> Dict[str, Any]:
 def save_checkpoint(path: str, state, metadata: Optional[Dict] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tree = jax.device_get(_tree_state(state))
+    orbax_path = os.path.abspath(path) + ".orbax"
+    msgpack_path = path + ".msgpack"
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path) + ".orbax", tree, force=True)
+        ckptr.save(orbax_path, tree, force=True)
         ckptr.wait_until_finished()
+        # remove a stale artifact from the other backend so restore (which
+        # prefers orbax) can never pick up an older save
+        if os.path.exists(msgpack_path):
+            os.remove(msgpack_path)
     except Exception:
+        import shutil
+
         import flax.serialization
 
-        with open(path + ".msgpack", "wb") as f:
+        with open(msgpack_path, "wb") as f:
             f.write(flax.serialization.to_bytes(tree))
+        if os.path.isdir(orbax_path):
+            shutil.rmtree(orbax_path, ignore_errors=True)
     if metadata is not None:
         with open(path + ".meta.json", "w") as f:
             json.dump(metadata, f)

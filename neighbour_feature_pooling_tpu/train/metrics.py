@@ -48,11 +48,15 @@ def confusion_matrix_update(cm: jax.Array, logits: jax.Array,
 
 def metrics_from_confusion(cm: jax.Array, eps: float = 1e-12
                            ) -> Dict[str, jax.Array]:
-    """Accuracy (micro) + macro precision/recall/F1 from a confusion matrix.
+    """Accuracy + macro precision/recall/F1 from a confusion matrix.
 
-    Macro averaging and zero-division handling follow torchmetrics defaults:
-    a class with no predictions (or no true samples) contributes 0 to the
-    respective mean, and classes are averaged uniformly.
+    ``accuracy`` follows the reference's metric: torchmetrics
+    ``Accuracy(task="multiclass")`` defaults to **macro** averaging (mean of
+    per-class recall over classes present in the targets) — this is the
+    val_acc the reference's ModelCheckpoint selects on. ``micro_accuracy``
+    (plain fraction correct) is also reported. Zero-division handling
+    follows torchmetrics: a class with no predictions (or no true samples)
+    contributes 0.
     """
     cm = cm.astype(jnp.float32)
     total = jnp.sum(cm)
@@ -60,13 +64,16 @@ def metrics_from_confusion(cm: jax.Array, eps: float = 1e-12
     true_per_class = jnp.sum(cm, axis=1)
     pred_per_class = jnp.sum(cm, axis=0)
 
-    accuracy = jnp.sum(tp) / jnp.maximum(total, 1.0)
+    micro = jnp.sum(tp) / jnp.maximum(total, 1.0)
     precision = jnp.where(pred_per_class > 0, tp / (pred_per_class + eps), 0.0)
     recall = jnp.where(true_per_class > 0, tp / (true_per_class + eps), 0.0)
     f1 = jnp.where(precision + recall > 0,
                    2 * precision * recall / (precision + recall + eps), 0.0)
+    present = (true_per_class > 0).astype(jnp.float32)
+    macro_acc = jnp.sum(recall * present) / jnp.maximum(jnp.sum(present), 1.0)
     return {
-        "accuracy": accuracy,
+        "accuracy": macro_acc,
+        "micro_accuracy": micro,
         "precision": jnp.mean(precision),
         "recall": jnp.mean(recall),
         "f1": jnp.mean(f1),

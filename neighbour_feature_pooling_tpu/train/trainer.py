@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.prefetch import prefetch
-from ..parallel.mesh import data_sharding, replicated_sharding
+from ..parallel.mesh import replicated_sharding, shard_batch
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .engine import TrainState, create_train_state, make_eval_step, make_train_step
 from .metrics import init_confusion, metrics_from_confusion
@@ -100,12 +100,10 @@ class Trainer:
             f.write(json.dumps(record) + "\n")
 
     def _put_batch(self, batch):
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
-            sharding = data_sharding(self.mesh)
-            batch = {k: jax.device_put(v, sharding)
-                     for k, v in batch.items()}
-        return batch
+            # one direct host->device transfer with the target sharding
+            return shard_batch(batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def init_state(self, sample_batch, total_steps: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed)
@@ -148,8 +146,14 @@ class Trainer:
                     or os.path.exists(last + ".msgpack")):
                 self.state, meta = restore_checkpoint(last, self.state)
                 start_epoch = int(meta.get("epoch", -1)) + 1
-                self.best = {"val_acc": meta.get("accuracy", -1.0),
-                             "epoch": meta.get("epoch", -1)}
+                # seed best-tracking from the BEST checkpoint's metadata,
+                # not last's — otherwise a worse model can overwrite "best"
+                best_meta_path = os.path.join(cfg.ckpt_dir, "best.meta.json")
+                if os.path.exists(best_meta_path):
+                    with open(best_meta_path) as f:
+                        best_meta = json.load(f)
+                    self.best = {"val_acc": best_meta.get("accuracy", -1.0),
+                                 "epoch": best_meta.get("epoch", -1)}
                 self.logger.info(
                     f"resumed from last checkpoint at epoch {start_epoch}")
 
@@ -164,7 +168,11 @@ class Trainer:
             frozen = bool(cfg.freeze_nfp and epoch < cfg.unfreeze_epoch)
             t0 = time.perf_counter()
             cm = init_confusion(self.num_classes)
-            loss_sum, nb = 0.0, 0
+            # loss accumulates as a device scalar — a per-step float() would
+            # force a host sync each batch (~20ms RTT through the TPU relay)
+            # and serialize the prefetch pipeline
+            loss_sum = jnp.zeros(())
+            nb = 0
             # device_put happens inside the prefetch thread so the host->
             # device transfer of batch i+1 overlaps the device step of i
             put = map(self._put_batch, datamodule.train_batches(epoch))
@@ -172,11 +180,11 @@ class Trainer:
                 self.state, loss, cm_up = self._train_step(
                     self.state, batch, dropout_rng, frozen=frozen)
                 cm = cm + cm_up
-                loss_sum += float(loss)
+                loss_sum = loss_sum + loss
                 nb += 1
             train_metrics = {k: float(v) for k, v in
                              metrics_from_confusion(cm).items()}
-            train_metrics["loss"] = loss_sum / max(nb, 1)
+            train_metrics["loss"] = float(loss_sum) / max(nb, 1)
             train_metrics["time_s"] = time.perf_counter() - t0
 
             val_metrics = self.evaluate(datamodule.val_batches())
@@ -232,14 +240,15 @@ class Trainer:
 
     def evaluate(self, batches: Iterator) -> Dict[str, float]:
         cm = init_confusion(self.num_classes)
-        loss_sum, w_sum = 0.0, 0.0
+        loss_sum = jnp.zeros(())
+        w_sum = jnp.zeros(())
         for batch in prefetch(map(self._put_batch, batches)):
             ls, ws, cm_up, _ = self._eval_step(self.state, batch)
             cm = cm + cm_up
-            loss_sum += float(ls)
-            w_sum += float(ws)
+            loss_sum = loss_sum + ls
+            w_sum = w_sum + ws
         m = {k: float(v) for k, v in metrics_from_confusion(cm).items()}
-        m["loss"] = loss_sum / max(w_sum, 1.0)
+        m["loss"] = float(loss_sum) / max(float(w_sum), 1.0)
         m["confusion"] = np.asarray(cm).tolist()
         return m
 

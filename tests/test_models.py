@@ -43,6 +43,9 @@ ALL_COMBOS = [(mt, v) for mt, variants in MODEL_VARIANTS.items()
 @pytest.mark.parametrize("model_type,variant", ALL_COMBOS)
 def test_forward_shape(model_type, variant):
     s = _INPUT_SIZE[model_type]
+    # fractal box-counting needs a >=6x6 final map (input >= 192 at /32)
+    if variant == "texture_fractal" and model_type != "vittiny":
+        s = 192
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (2, s, s, 3)).astype(np.float32))
     # CLI-padding legacy variants default to padding=0, which needs ≥3×3

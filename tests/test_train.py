@@ -49,7 +49,9 @@ def test_metrics_match_sklearn():
     cm = confusion_matrix_update(init_confusion(k), jnp.asarray(logits),
                                  jnp.asarray(labels))
     m = {kk: float(v) for kk, v in metrics_from_confusion(cm).items()}
-    assert abs(m["accuracy"] - (preds == labels).mean()) < 1e-6
+    assert abs(m["micro_accuracy"] - (preds == labels).mean()) < 1e-6
+    # "accuracy" = torchmetrics multiclass default (macro) = balanced acc
+    assert abs(m["accuracy"] - sk.balanced_accuracy_score(labels, preds)) < 1e-5
     assert abs(m["f1"] - sk.f1_score(labels, preds, average="macro",
                                      zero_division=0)) < 1e-5
     assert abs(m["precision"] - sk.precision_score(
