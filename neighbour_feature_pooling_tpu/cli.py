@@ -49,10 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_epochs", type=int, default=200)
     p.add_argument("--similarity", type=str, default="cosine",
                    choices=MEASURE_NAMES + ["mahalanobis"])
+    # no argparse choices: spellings like "eurosat"/"gtos_mobile" are
+    # accepted and normalized (demo.py:479-489); unknown names fail in
+    # get_datamodule with the registry list
     p.add_argument("--dataset", type=str, default="UCMerced",
-                   choices=["UCMerced", "RESISC45", "MSTAR", "cifar10",
-                            "GTOS-Mobile", "PlantVillage", "EuroSAT",
-                            "FashionMNIST", "synthetic"])
+                   help="UCMerced|RESISC45|MSTAR|cifar10|GTOS-Mobile|"
+                        "PlantVillage|EuroSAT|FashionMNIST|"
+                        "sugarcane_damage_usa|synthetic (case/sep insensitive)")
     p.add_argument("--model_type", type=str, default="resnet18",
                    choices=["resnet18", "resnet50", "vittiny", "mobilenetv3",
                             "vit_tiny_patch16_224", "mobilenetv3_large_100"])
@@ -92,6 +95,7 @@ def _normalize_dataset(name: str) -> str:
         "cifar10": "cifar10", "gtosmobile": "GTOS-Mobile",
         "plantvillage": "PlantVillage", "eurosat": "EuroSAT",
         "fashionmnist": "FashionMNIST", "synthetic": "synthetic",
+        "sugarcanedamageusa": "sugarcane_damage_usa",
     }
     return mapping.get(key, name)
 
@@ -103,6 +107,9 @@ def run_experiment(seed: int, config: Dict) -> float:
     import jax.numpy as jnp
 
     dataset = config["dataset"]
+    # per-run seed drives shuffling/augmentation; the split stays fixed
+    # (datamodules' split_seed) so all seeds share one test set
+    config = dict(config, seed=seed)
     data_module = get_datamodule(dataset, config)
     # Force 13 channels for multispectral EuroSAT (demo.py:224-229)
     num_input_channels = 13 if dataset.lower() == "eurosat" else 3

@@ -121,7 +121,7 @@ class ArrayDataModule(DataModule):
 
     def __init__(self, num_classes: int, batch_size=32, num_workers: int = 0,
                  transform: Optional[TransformConfig] = None, seed: int = 42,
-                 num_input_channels: int = 3):
+                 num_input_channels: int = 3, split_seed: int = 42):
         self.num_classes = num_classes
         self.num_input_channels = num_input_channels
         if isinstance(batch_size, int):
@@ -130,7 +130,13 @@ class ArrayDataModule(DataModule):
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.transform = transform or TransformConfig()
+        #: per-run seed: shuffling order + augmentation randomness
         self.seed = seed
+        #: fixed seed for the train/val/test split, so the 3-seed protocol
+        #: evaluates on a CONSTANT test set while shuffling/augment vary
+        #: (the reference fixes its split generators at 42 too,
+        #: DataModules.py:61)
+        self.split_seed = split_seed
         self._splits: Dict[str, _Split] = {}
 
     # -- subclasses fill self._splits in setup() --
@@ -168,7 +174,14 @@ class ArrayDataModule(DataModule):
         if shuffle:
             rng.shuffle(order)
         native_ok = self._native_enabled()
-        for start in range(0, n, bs):
+        # Training drops the final partial batch (unless it is the only one):
+        # zero-padded rows would pollute BatchNorm batch statistics — the
+        # weight channel masks loss/metrics but not BN. Eval keeps the padded
+        # tail (BN uses running stats there) so every example is scored.
+        end = n
+        if shuffle and n >= bs:
+            end = (n // bs) * bs
+        for start in range(0, end, bs):
             idx = order[start: start + bs]
             raw = [self._decode(sp.images[i]) for i in idx]
             if native_ok:
@@ -242,7 +255,7 @@ class SyntheticDataModule(ArrayDataModule):
     def setup(self, stage: Optional[str] = None) -> None:
         if self._splits:
             return
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(self.split_seed)
         s, c = self.image_size, self.num_input_channels
         yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
         images, labels = [], []
@@ -321,7 +334,7 @@ class FolderDataModule(ArrayDataModule):
         labels = np.asarray(labels, np.int64)
         if not self.num_classes:
             self.num_classes = int(labels.max()) + 1
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(self.split_seed)
         tr_idx, va_idx, te_idx = [], [], []
         for c in range(self.num_classes):
             idx = np.where(labels == c)[0]
@@ -504,7 +517,7 @@ class CIFAR10DataModule(ArrayDataModule):
         x = (np.concatenate(xs).reshape(-1, 3, 32, 32)
              .transpose(0, 2, 3, 1).astype(np.float32) / 255.0)
         y = np.asarray(ys, np.int64)
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(self.split_seed)
         order = rng.permutation(len(x))
         x, y = x[order], y[order]
         n_tr = int(0.7 * len(x))
@@ -587,6 +600,7 @@ def get_datamodule(dataset: str, config: Dict) -> DataModule:
         data_dir=config.get("data_dir"),
         batch_size=config.get("batch_size", 32),
         num_workers=config.get("num_workers", 0),
+        seed=config.get("seed", 42),
     )
     if dataset == "UCMerced":
         return UCMercedDataModule(**common)
@@ -613,5 +627,6 @@ def get_datamodule(dataset: str, config: Dict) -> DataModule:
             num_samples=config.get("num_samples", 256),
             image_size=config.get("input_size", 64),
             num_input_channels=config.get("num_input_channels", 3),
-            batch_size=config.get("batch_size", 32))
+            batch_size=config.get("batch_size", 32),
+            seed=config.get("seed", 42))
     raise ValueError(f"Unknown dataset: {dataset}")

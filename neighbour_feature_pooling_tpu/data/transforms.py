@@ -49,14 +49,18 @@ def _resize_to(img: np.ndarray, nh: int, nw: int) -> np.ndarray:
 
 
 def _resize(img: np.ndarray, size: int) -> np.ndarray:
-    """Bilinear resize of an HWC float array so the short side == size."""
+    """Bilinear resize of an HWC float array so the short side == size.
+
+    The long side uses truncation (``int(size * long / short)``) — the
+    torchvision ``F.resize`` convention the reference pipeline uses, not
+    rounding."""
     h, w = img.shape[:2]
     if h == w:
         nh = nw = size
     elif h < w:
-        nh, nw = size, int(round(w * size / h))
+        nh, nw = size, int(size * w / h)
     else:
-        nh, nw = int(round(h * size / w)), size
+        nh, nw = int(size * h / w), size
     return _resize_to(img, nh, nw)
 
 
@@ -108,9 +112,17 @@ def train_transform(img: np.ndarray, cfg: TransformConfig,
 
 
 def eval_transform(img: np.ndarray, cfg: TransformConfig) -> np.ndarray:
-    """Resize → CenterCrop → Normalize."""
+    """Resize → CenterCrop → Normalize, always emitting input_size².
+
+    When ``input_size > resize_size`` the centered crop covers the whole
+    short side and is upscaled (the native path's behavior); a plain
+    center-crop would silently emit resize_size-sized images."""
     img = _resize(img.astype(np.float32), cfg.resize_size)
-    img = _center_crop(img, cfg.input_size)
+    if cfg.input_size > min(img.shape[:2]):
+        img = _center_crop(img, min(img.shape[:2]))
+        img = _resize_to(img, cfg.input_size, cfg.input_size)
+    else:
+        img = _center_crop(img, cfg.input_size)
     return _normalize(img, cfg)
 
 
@@ -141,7 +153,9 @@ def plan_train(shape: Tuple[int, int], cfg: TransformConfig,
     h, w = shape
     short = min(h, w)
     s = short / cfg.resize_size  # resized -> source scale
-    rh, rw = int(round(h / s)), int(round(w / s))
+    # truncation for the long side, matching _resize/torchvision
+    rh, rw = ((cfg.resize_size, int(cfg.resize_size * w / h)) if h <= w
+              else (int(cfg.resize_size * h / w), cfg.resize_size))
     for _ in range(10):
         scale = rng.uniform(*cfg.scale_range)
         ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))

@@ -47,7 +47,9 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else build_library()
+        # always route through build_library(): it mtime-checks the source
+        # so an edited augment.cpp cannot silently run as a stale binary
+        path = build_library()
         if path is None:
             _build_failed = True
             return None
@@ -102,6 +104,18 @@ def augment_batch(
     n = len(images)
     c = images[0].shape[2]
     out_h, out_w = out_size
+    mean = np.asarray(mean, np.float32).reshape(-1)
+    std = np.asarray(std, np.float32).reshape(-1)
+    if mean.size != c or std.size != c:
+        raise ValueError(
+            f"mean/std must have {c} entries (one per channel), got "
+            f"{mean.size}/{std.size}")
+    crops = np.asarray(crops, np.int32)
+    flips = np.asarray(flips, np.int32).reshape(-1)
+    if crops.shape != (n, 4) or flips.shape != (n,):
+        raise ValueError(
+            f"crops must be ({n}, 4) and flips ({n},), got "
+            f"{crops.shape}/{flips.shape}")
     flat_parts = []
     offsets = np.zeros(n, np.int64)
     shapes = np.zeros((n, 2), np.int32)

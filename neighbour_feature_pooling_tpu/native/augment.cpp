@@ -86,7 +86,9 @@ void process_one(const Job& job, int channels, int out_h, int out_w,
   scratch->assign(static_cast<size_t>(job.chh) * out_w * channels, 0.0f);
   float* tmp = scratch->data();
   for (int sy = 0; sy < job.chh; ++sy) {
-    const float* row = job.src + ((job.ct + sy) * job.sw) * channels;
+    // int64 linearized index: large panoramas overflow 32-bit arithmetic
+    const float* row = job.src + (static_cast<int64_t>(job.ct + sy) *
+                                  job.sw) * channels;
     float* trow = tmp + (static_cast<size_t>(sy) * out_w) * channels;
     for (int ox = 0; ox < out_w; ++ox) {
       const float* w = &wx.weights[static_cast<size_t>(ox) * wx.max_count];

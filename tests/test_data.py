@@ -39,15 +39,44 @@ def test_synthetic_batches_and_padding():
                              batch_size=16)
     dm.setup()
     batches = list(dm.train_batches(0))
-    # 35 train samples -> 3 batches, last padded
-    assert len(batches) == 3
+    # 35 train samples -> TRAIN drops the partial tail (BatchNorm statistics
+    # must not see zero-padded rows): 2 full batches
+    assert len(batches) == 2
     for b in batches:
         assert b["image"].shape == (16, 16, 16, 3)
         assert b["label"].shape == (16,)
-    assert batches[-1]["weight"].sum() == 35 - 32
-    # weights of padding rows are zero and images are zeros there
-    w = batches[-1]["weight"]
-    assert (batches[-1]["image"][w == 0] == 0).all()
+        assert b["weight"].sum() == 16
+    # EVAL keeps the padded tail so every example is scored
+    vb = list(dm.test_batches())
+    assert len(vb) == 1  # 8 test samples -> one padded batch
+    w = vb[-1]["weight"]
+    assert w.sum() == 8
+    assert (vb[-1]["image"][w == 0] == 0).all()
+
+
+def test_train_single_small_batch_kept():
+    # when the train split is smaller than the batch size, the single padded
+    # batch is kept (dropping it would mean zero training data)
+    dm = SyntheticDataModule(num_classes=2, num_samples=16, image_size=8,
+                             batch_size=32)
+    dm.setup()
+    batches = list(dm.train_batches(0))
+    assert len(batches) == 1
+
+
+def test_seed_changes_shuffle_not_split():
+    a = SyntheticDataModule(num_classes=2, num_samples=64, image_size=8,
+                            batch_size=16, seed=1)
+    b = SyntheticDataModule(num_classes=2, num_samples=64, image_size=8,
+                            batch_size=16, seed=2)
+    a.setup(); b.setup()
+    # same underlying split/data (split_seed fixed) ...
+    np.testing.assert_array_equal(a._splits["test"].labels,
+                                  b._splits["test"].labels)
+    # ... but different shuffle order
+    la = next(iter(a.train_batches(0)))["label"]
+    lb = next(iter(b.train_batches(0)))["label"]
+    assert not np.array_equal(la, lb)
 
 
 def test_synthetic_learnable_classes_differ():
