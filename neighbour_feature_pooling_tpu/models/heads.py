@@ -48,6 +48,9 @@ __all__ = [
     "SEGateHead",
     "SimilarityAwarePooling",
     "AttentionFusion",
+    "AdaptiveFusionNFP",
+    "NFPBottleneck",
+    "PositionalEncoding2D",
     "NFPProject",
 ]
 
@@ -424,6 +427,33 @@ class AttentionFusion(nn.Module):
         g = nn.Dense(2, dtype=self.dtype, name="gate2")(g)
         w = jax.nn.softmax(g, axis=1)
         return w[:, :1] * gp + w[:, 1:] * np_
+
+
+class AdaptiveFusionNFP(nn.Module):
+    """``AdaptiveFusionNFP`` (``nfp_heads.py:283-332``): GAP + compressed-NFP
+    fused by an SE-style gate — ``gap + α·nfp`` — with dropout."""
+
+    bottleneck_dim: int = 512
+    radius: int = 1
+    measure: str = "cosine"
+    dropout_p: float = 0.2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        gap_feat = gap2d(x)
+        m = nfp(x, self.radius, self.measure, padding=self.radius)
+        m = _ConvBNReLU(self.bottleneck_dim, self.dtype,
+                        name="compress")(m, train)
+        nfp_feat = gap2d(m)
+        fusion_in = jnp.concatenate([gap_feat, nfp_feat], axis=1)
+        a = nn.Dense(fusion_in.shape[-1] // 2, dtype=self.dtype,
+                     name="fusion_gate1")(fusion_in)
+        a = nn.relu(a)
+        a = nn.Dense(1, dtype=self.dtype, name="fusion_gate2")(a)
+        alpha = nn.sigmoid(a)
+        fused = gap_feat + alpha * nfp_feat
+        return nn.Dropout(self.dropout_p, deterministic=not train)(fused)
 
 
 class PositionalEncoding2D(nn.Module):

@@ -47,6 +47,7 @@ from .backbones import (
     vit_tiny_patch16_224,
 )
 from .heads import (
+    AdaptiveFusionNFP,
     DeepTENHead,
     FractalPoolingHead,
     GAPMLPHead,
@@ -95,6 +96,7 @@ _LEGACY_GRID = (
     # (vittiny_models_new.py:9-68) and the NFPHead building block
     # (nfp_heads.py:11-46), as a variant for every backbone
     "nfp_head", "multi_radius_nfp", "similarity_aware_pooling",
+    "adaptive_fusion_nfp",
 )
 
 #: allowed variants per model type (``demo.py:148-215`` incl. commented grid)
@@ -302,6 +304,13 @@ class TextureModel(nn.Module):
                 self.nfp_radius, self.measure, padding=self.nfp_padding,
                 dtype=self.dtype, name="head")(fmap, train)
             return fc(pooled.shape[-1])(pooled)
+        if variant == "adaptive_fusion_nfp":
+            # bottleneck = C so gap + α·nfp is dimensionally valid for
+            # every backbone (the reference head assumes in_channels=512)
+            pooled = AdaptiveFusionNFP(
+                feat_dim, self.nfp_radius, self.measure, dtype=self.dtype,
+                name="head")(fmap, train)
+            return fc(feat_dim)(pooled)
         raise ValueError(f"Unhandled variant {variant!r}")
 
 
