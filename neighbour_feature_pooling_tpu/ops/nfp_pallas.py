@@ -170,14 +170,21 @@ def nfp_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Run the fused NFP(+GAP) kernel on an NHWC feature map (stride 1)."""
-    if fuse_gap and get_measure(measure).needs_softmax_over_neighbors:
-        # attention: softmax is per-position, so the texture map must exist
-        # before pooling (mean-of-softmax != softmax-of-mean)
-        out = nfp_pallas(x, radius, measure, similarity=similarity, p=p,
-                         eps=eps, q_scs=q_scs, padding=padding,
-                         dilation=dilation, padding_mode=padding_mode,
-                         fuse_gap=False, interpret=interpret)
-        return jnp.mean(out, axis=(1, 2))
+    m = get_measure(measure)
+    if m.needs_softmax_over_neighbors:
+        # attention = softmax(dot) per position. The kernel computes the raw
+        # dot texture map; softmax over the neighbor dim runs outside in XLA
+        # (Mosaic cannot lower the non-trailing-dim softmax in-kernel:
+        # "Unsupported output implicit dimension"), and pooling, when
+        # requested, follows the softmax (mean-of-softmax != softmax-of-mean).
+        raw = nfp_pallas(x, radius, "dot", similarity=True, p=p, eps=eps,
+                         q_scs=q_scs, padding=padding, dilation=dilation,
+                         padding_mode=padding_mode, fuse_gap=False,
+                         interpret=interpret)
+        out = m.finalize(jax.nn.softmax(raw, axis=-1), similarity)
+        if fuse_gap:
+            return jnp.mean(out, axis=(1, 2))
+        return out
     b, h, w, c = x.shape
     n = num_neighbors(radius)
     h_out = nfp_output_size(h, radius, 1, padding, dilation)
