@@ -309,9 +309,22 @@ def nfp(
                     padding, dilation, padding_mode, data_format, fuse_gap)[0]
 
 
+#: dispatch policy, measured on v5e-1: at texture-head map sizes the Pallas
+#: kernel and the XLA-fused oracle are equal (both trivially fast, kernel
+#: bit-exact); at large multi-stage maps (112²) the oracle's fusion wins
+#: ~1.7× over the strip-mined kernel — these stencil reductions are
+#: bandwidth-bound and XLA fuses them optimally. "auto" uses the kernel up
+#: to this many output positions and the oracle beyond.
+_PALLAS_MAX_POSITIONS = 256
+
+
 def _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
                    padding, dilation, padding_mode, data_format, fuse_gap):
-    if pallas_supported(measure, stride):
+    h_axis, w_axis = (2, 3) if data_format == "NCHW" else (1, 2)
+    h_out = nfp_output_size(x.shape[h_axis], radius, stride, padding, dilation)
+    w_out = nfp_output_size(x.shape[w_axis], radius, stride, padding, dilation)
+    if (pallas_supported(measure, stride)
+            and h_out * w_out <= _PALLAS_MAX_POSITIONS):
         xh = jnp.transpose(x, (0, 2, 3, 1)) if data_format == "NCHW" else x
         out = nfp_pallas(
             xh, radius, measure, similarity=similarity, p=p, eps=eps,
