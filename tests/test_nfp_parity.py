@@ -161,3 +161,16 @@ def test_mahalanobis_extension_sane():
     assert bool(jnp.all(jnp.isfinite(out)))
     # distance convention: similarity=True negates.
     assert float(out.max()) <= 0.0
+
+
+@pytest.mark.parametrize("measure", [m for m in MEASURE_NAMES
+                                     if m != "sharpened_cosine"] + ["mahalanobis"])
+def test_degenerate_inputs_finite(measure):
+    """Constant and zero feature maps must produce finite outputs for every
+    measure (eps guards); gradients may legitimately be non-finite for
+    sqrt-at-zero distances, matching the reference math."""
+    for x in (jnp.zeros((1, 5, 5, 8)),
+              jnp.ones((1, 5, 5, 8)) * 0.7,
+              jnp.ones((1, 5, 5, 8)) * -3.0):
+        out = nfp_reference(x, 1, measure, padding=1)
+        assert bool(jnp.all(jnp.isfinite(out))), measure
