@@ -136,31 +136,38 @@ def measure_torch_cpu_baseline(batch=32, iters=5, warmup=2):
 
 
 def get_baseline():
+    """Returns (img_per_s, estimated) — ``estimated=True`` marks the
+    conservative fallback used when the torch baseline cannot be measured
+    and no cached measurement exists."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["torch_cpu_img_per_s"]
+            return json.load(f)["torch_cpu_img_per_s"], False
     try:
         v = measure_torch_cpu_baseline()
     except Exception as e:
         print(f"# baseline measurement failed ({e}); using recorded value",
               file=sys.stderr)
-        return 25.0  # conservative torch-CPU estimate for this machine class
+        # conservative torch-CPU estimate for this machine class
+        return 25.0, True
     with open(BASELINE_CACHE, "w") as f:
         json.dump({"torch_cpu_img_per_s": v,
                    "config": "ResNet18+NFP(cosine) fwd, 224px, torch CPU"},
                   f)
-    return v
+    return v, False
 
 
 def main():
     value = measure_tpu()
-    baseline = get_baseline()
-    print(json.dumps({
+    baseline, estimated = get_baseline()
+    record = {
         "metric": "images/sec/chip (ResNet18+NFP fwd, 224px)",
         "value": round(value, 1),
         "unit": "img/s",
         "vs_baseline": round(value / baseline, 2),
-    }))
+    }
+    if estimated:
+        record["baseline_estimated"] = True
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -78,7 +78,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nfp_insert_idx", type=int, default=1)
     p.add_argument("--nfp_intermediate_layer_idx", type=int, default=1)
     p.add_argument("--nfp_mid_layer_idx", type=int, default=1)
+    # trainer features at reference-parity defaults (Lightning_Wrapper.py:35,
+    # 69-79: label_smoothing=0.05, optional scheduler monitoring val_loss)
+    p.add_argument("--scheduler", type=str, default="none",
+                   choices=["none", "cosine", "plateau"])
+    p.add_argument("--label_smoothing", type=float, default=0.05)
     # TPU-native additions
+    p.add_argument("--num_samples", type=int, default=256,
+                   help="synthetic dataset size (--dataset synthetic only)")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="path to a timm state_dict (.pth/.npz) ported into "
+                        "the backbone (reference: timm pretrained=True, "
+                        "texture_pooling.py:19)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay fp32)")
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
@@ -164,14 +175,26 @@ def run_experiment(seed: int, config: Dict) -> float:
         print(summarize(variables))
         _SUMMARY_PRINTED = True
 
+    pretrained_backbone = None
+    if config.get("pretrained"):
+        from .models.backbones.timm_port import (load_torch_state_dict,
+                                                 port_backbone)
+
+        sd = load_torch_state_dict(config["pretrained"])
+        pretrained_backbone = port_backbone(config["model_type"], sd,
+                                            in_chans=num_input_channels)
+        print(f"loaded pretrained backbone from {config['pretrained']}")
+
     trainer = Trainer(model, num_classes, TrainerConfig(
         learning_rate=config["learning_rate"],
         max_epochs=config["max_epochs"],
         patience=config["patience"],
         min_delta=config["min_delta"],
+        label_smoothing=config.get("label_smoothing", 0.05),
+        scheduler=config.get("scheduler", "none"),
         freeze_nfp=True, unfreeze_epoch=5,  # demo.py:376-377
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
-    ), mesh=mesh)
+    ), mesh=mesh, pretrained_backbone=pretrained_backbone)
     trainer.fit(data_module)
     metrics = trainer.test(data_module, restore="best",
                            label_names=getattr(data_module, "class_names",
@@ -222,6 +245,10 @@ def main(argv: Optional[List[str]] = None) -> None:
         "nfp_mid_layer_idx": args.nfp_mid_layer_idx,
         "num_devices": args.num_devices,
         "bf16": args.bf16,
+        "scheduler": args.scheduler,
+        "label_smoothing": args.label_smoothing,
+        "num_samples": args.num_samples,
+        "pretrained": args.pretrained,
     }
 
     results = []

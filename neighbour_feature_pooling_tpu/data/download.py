@@ -1,0 +1,156 @@
+"""Guarded dataset download lifecycle.
+
+The reference's DataModules download in ``prepare_data()`` (torchvision
+``DataModules.py:42-44``, AgML ``DataModules.py:166-172``). This build runs
+offline-first: every datamodule reads local files, and ``prepare_data()``
+only attempts a download when
+
+* the dataset files are absent, AND
+* ``NFP_TPU_OFFLINE`` is not set, AND
+* the network is actually reachable (cheap TCP probe, cached per process).
+
+So in this (zero-egress) container ``prepare_data()`` stays a no-op, while
+on a networked machine it fills ``data_dir`` with the same layouts the
+offline loaders read (torchvision ``cifar-10-batches-py``, ``FashionMNIST/
+raw`` IDX files, class-subfolder trees for the folder datasets).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import socket
+import tarfile
+import urllib.request
+import zipfile
+from typing import Iterable, Optional
+
+__all__ = ["network_available", "download_file", "extract_archive",
+           "find_class_root", "DATASET_URLS"]
+
+#: set to "1" to hard-disable all downloads regardless of reachability
+OFFLINE_ENV = "NFP_TPU_OFFLINE"
+
+#: canonical dataset sources (same hosts torchvision/torchgeo use)
+DATASET_URLS = {
+    "cifar10": "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
+    "fashionmnist_base":
+        "http://fashion-mnist.s3-website.eu-central-1.amazonaws.com/",
+    "UCMerced":
+        "http://weegee.vision.ucmerced.edu/datasets/UCMerced_LandUse.zip",
+    "EuroSAT_rgb": "https://madm.dfki.de/files/sentinel/EuroSAT.zip",
+    "EuroSAT_ms": "https://madm.dfki.de/files/sentinel/EuroSATallBands.zip",
+}
+
+#: well-known torchvision md5s (verified on download when present)
+MD5S = {
+    "cifar-10-python.tar.gz": "c58f30108f718f92721af3b95e74349a",
+    "train-images-idx3-ubyte.gz": "8d4fb7e6c68d591d4c3dfef9ec88bf0d",
+    "train-labels-idx1-ubyte.gz": "25c81989df183df01b3e8a0aad5dffbe",
+    "t10k-images-idx3-ubyte.gz": "bef4ecab320f06d8554ea6380940ec79",
+    "t10k-labels-idx1-ubyte.gz": "bb300cfdad3c16e7a12a480ee83cd310",
+}
+
+_probe_cache: Optional[bool] = None
+
+
+def network_available(timeout: float = 3.0, force_probe: bool = False) -> bool:
+    """True when downloads are permitted and a TCP connection to a public
+    host succeeds. Result is cached per process (probes cost seconds)."""
+    global _probe_cache
+    if os.environ.get(OFFLINE_ENV, "") not in ("", "0"):
+        return False
+    if _probe_cache is not None and not force_probe:
+        return _probe_cache
+    ok = False
+    for host, port in (("huggingface.co", 443), ("www.cs.toronto.edu", 443)):
+        try:
+            with socket.create_connection((host, port), timeout=timeout):
+                ok = True
+                break
+        except OSError:
+            continue
+    _probe_cache = ok
+    return ok
+
+
+def _md5(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def download_file(url: str, dest: str, md5: Optional[str] = None,
+                  timeout: float = 60.0) -> str:
+    """Fetch ``url`` to ``dest`` atomically (tmp file + rename); verify md5
+    when given (default: the known torchvision digest for the filename)."""
+    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+    if md5 is None:
+        md5 = MD5S.get(os.path.basename(dest))
+    if os.path.exists(dest):
+        if md5 is None or _md5(dest) == md5:
+            return dest
+        os.remove(dest)  # partial/corrupt leftover
+    tmp = dest + ".part"
+    with urllib.request.urlopen(url, timeout=timeout) as r, \
+            open(tmp, "wb") as f:
+        shutil.copyfileobj(r, f)
+    if md5 is not None:
+        got = _md5(tmp)
+        if got != md5:
+            os.remove(tmp)
+            raise IOError(f"md5 mismatch for {url}: got {got}, want {md5}")
+    os.replace(tmp, dest)
+    return dest
+
+
+def extract_archive(path: str, dest: str) -> None:
+    os.makedirs(dest, exist_ok=True)
+    if path.endswith(".zip"):
+        with zipfile.ZipFile(path) as z:
+            z.extractall(dest)
+    elif path.endswith((".tar.gz", ".tgz", ".tar")):
+        mode = "r:gz" if path.endswith(("gz",)) else "r"
+        with tarfile.open(path, mode) as t:
+            t.extractall(dest, filter="data")
+    else:
+        raise ValueError(f"unknown archive type: {path}")
+
+
+def find_class_root(root: str,
+                    img_exts: Iterable[str] = (".png", ".jpg", ".jpeg",
+                                               ".tif", ".tiff", ".bmp"),
+                    max_depth: int = 4) -> Optional[str]:
+    """Locate the directory whose children are the class subfolders (each
+    holding images) inside an extracted archive — e.g. UCMerced unzips to
+    ``UCMerced_LandUse/Images/<class>/``."""
+    exts = tuple(img_exts)
+
+    def has_images(d: str) -> bool:
+        try:
+            return any(fn.lower().endswith(exts) for fn in os.listdir(d))
+        except OSError:
+            return False
+
+    def walk(d: str, depth: int) -> Optional[str]:
+        try:
+            subdirs = sorted(
+                os.path.join(d, s) for s in os.listdir(d)
+                if os.path.isdir(os.path.join(d, s)))
+        except OSError:
+            return None
+        with_imgs = [s for s in subdirs if has_images(s)]
+        if len(with_imgs) >= 2:
+            return d
+        if depth >= max_depth:
+            return None
+        for s in subdirs:
+            found = walk(s, depth + 1)
+            if found:
+                return found
+        return None
+
+    return walk(root, 0)

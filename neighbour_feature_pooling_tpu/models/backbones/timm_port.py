@@ -31,7 +31,7 @@ from typing import Any, Callable, Dict, Mapping, Tuple
 import numpy as np
 
 __all__ = ["port_resnet", "port_mobilenetv3", "port_vit", "adapt_in_chans",
-           "load_torch_state_dict"]
+           "load_torch_state_dict", "port_backbone"]
 
 Array = np.ndarray
 Tree = Dict[str, Any]
@@ -47,6 +47,24 @@ def load_torch_state_dict(path: str) -> Dict[str, Array]:
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     return {k: v.detach().cpu().numpy() for k, v in obj.items()}
+
+
+def port_backbone(model_type: str, sd: Mapping[str, Array],
+                  in_chans: int = 3) -> Tree:
+    """Dispatch a timm state_dict to the right porter by canonical model
+    type (``resnet18``/``resnet50``/``mobilenetv3``/``vittiny``) — the one
+    call the CLI's ``--pretrained`` flag needs."""
+    if model_type == "resnet18":
+        return port_resnet(sd, layers=(2, 2, 2, 2), bottleneck=False,
+                           in_chans=in_chans)
+    if model_type == "resnet50":
+        return port_resnet(sd, layers=(3, 4, 6, 3), bottleneck=True,
+                           in_chans=in_chans)
+    if model_type == "mobilenetv3":
+        return port_mobilenetv3(sd, in_chans=in_chans)
+    if model_type == "vittiny":
+        return port_vit(sd, depth=12, num_heads=3, in_chans=in_chans)
+    raise ValueError(f"no porter for model_type {model_type!r}")
 
 
 def _set(tree: Tree, path: Tuple[str, ...], value: Array) -> None:

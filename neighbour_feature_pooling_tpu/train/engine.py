@@ -76,18 +76,59 @@ def freeze_mask(params, substrings: Tuple[str, ...] = ("nfp_head", "se_gate")):
     return flax.traverse_util.unflatten_dict(mask)
 
 
+def _merge_backbone(variables: Dict[str, Any],
+                    pretrained: Dict[str, Any]) -> Dict[str, Any]:
+    """Replace the ``backbone`` subtree of freshly-initialized variables with
+    a ported pretrained tree (``models/backbones/timm_port.py``), validating
+    leaf names and shapes against the init tree."""
+    out = dict(variables)
+    for col in ("params", "batch_stats"):
+        sub = pretrained.get(col)
+        if not sub:
+            continue
+        init_bb = variables.get(col, {}).get("backbone")
+        if init_bb is None:
+            raise ValueError(f"model has no backbone {col} to load into")
+        want = flax.traverse_util.flatten_dict(init_bb)
+        got = flax.traverse_util.flatten_dict(sub)
+        if set(want) != set(got):
+            missing = sorted(set(want) - set(got))[:5]
+            extra = sorted(set(got) - set(want))[:5]
+            raise ValueError(
+                f"pretrained {col} tree mismatch: missing={missing} "
+                f"extra={extra}")
+        for k in want:
+            if tuple(want[k].shape) != tuple(got[k].shape):
+                raise ValueError(
+                    f"pretrained {col} shape mismatch at {'/'.join(k)}: "
+                    f"init {want[k].shape} vs ported {got[k].shape}")
+        col_tree = dict(out[col])
+        col_tree["backbone"] = jax.tree_util.tree_map(jnp.asarray, sub)
+        out[col] = col_tree
+    return out
+
+
 def create_train_state(model, rng: jax.Array, sample_batch: Dict[str, jax.Array],
                        learning_rate: float, scheduler: str = "none",
-                       total_steps: int = 0) -> TrainState:
+                       total_steps: int = 0,
+                       pretrained_backbone: Optional[Dict[str, Any]] = None
+                       ) -> TrainState:
     """Initialize params/batch_stats and an Adam optimizer.
 
     ``scheduler``: ``none`` (reference default, Lightning_Wrapper.py:69-79),
     ``cosine`` (decay over ``total_steps``), or ``plateau`` (the optimizer's
     learning rate is exposed via ``inject_hyperparams`` so the trainer can
     reduce it when ``val_loss`` plateaus, torch ReduceLROnPlateau-style).
+
+    ``pretrained_backbone``: optional ported timm variables
+    (``{"params": ..., "batch_stats": ...}`` backbone subtree) replacing the
+    random backbone init — the reference's ``pretrained=True``
+    (``/root/reference/models/texture_pooling.py:19``).
     """
     variables = model.init({"params": rng}, sample_batch["image"][:1],
                            train=False)
+    if pretrained_backbone is not None:
+        variables = _merge_backbone(variables, pretrained_backbone)
     if scheduler == "cosine":
         if total_steps <= 0:
             raise ValueError("cosine scheduler needs total_steps > 0")

@@ -18,8 +18,15 @@ loop:
 * optional ``jax.sharding.Mesh`` for data-parallel scaling — params
   replicated, batch sharded, XLA inserts the gradient all-reduce.
 
-Logs go to ``{log_dir}/experiment.log`` (python logging, ``demo.py:78-85``)
-and ``{log_dir}/metrics.jsonl`` (one JSON line per epoch/split).
+Logs go to ``{log_dir}/experiment.log`` (python logging, ``demo.py:78-85``),
+``{log_dir}/metrics.jsonl`` (one JSON line per epoch/split), and a
+TensorBoard event file in ``{log_dir}`` (the reference's TensorBoardLogger,
+``demo.py:400-403``): per-step ``train_*_step`` scalars every
+``log_every_n_steps`` (``Lightning_Wrapper.py:99-103``,
+``log_every_n_steps=1`` at ``demo.py:412``) plus per-epoch train/val/test
+curves. Per-step device scalars are buffered and materialized once per epoch
+— a per-step ``float()`` would force a host sync each batch (~20ms RTT
+through the TPU relay) and stall the prefetch pipeline.
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ import numpy as np
 
 from ..data.prefetch import prefetch
 from ..parallel.mesh import replicated_sharding, shard_batch
+from ..utils.tensorboard import SummaryWriter
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .engine import TrainState, create_train_state, make_eval_step, make_train_step
 from .metrics import init_confusion, metrics_from_confusion
@@ -58,7 +66,8 @@ class TrainerConfig:
     scheduler_factor: float = 0.1
     log_dir: str = "logs/run"
     ckpt_dir: str = "checkpoints/run"
-    log_every_n_steps: int = 1
+    log_every_n_steps: int = 1  # demo.py:412; 0 disables per-step logging
+    tensorboard: bool = True    # demo.py:400-403
     seed: int = 42
 
 
@@ -66,19 +75,43 @@ class Trainer:
     """Fit/validate/test driver for a ``TextureModel``."""
 
     def __init__(self, model, num_classes: int, config: TrainerConfig,
-                 mesh=None):
+                 mesh=None, pretrained_backbone=None):
         self.model = model
         self.num_classes = num_classes
         self.config = config
         self.mesh = mesh
+        self.pretrained_backbone = pretrained_backbone
         self._train_step = make_train_step(num_classes,
                                            config.label_smoothing)
         self._eval_step = make_eval_step(num_classes, config.label_smoothing)
         os.makedirs(config.log_dir, exist_ok=True)
         self.logger = self._setup_logging(config.log_dir)
         self._metrics_path = os.path.join(config.log_dir, "metrics.jsonl")
+        self.tb: Optional[SummaryWriter] = (
+            SummaryWriter(config.log_dir) if config.tensorboard else None)
         self.state: Optional[TrainState] = None
         self.best = {"val_acc": -1.0, "epoch": -1}
+
+    _STEP_TAGS = ("loss", "accuracy", "f1", "precision", "recall")
+    _TB_NAMES = {"accuracy": "acc"}  # Lightning tag spelling (train_acc, ...)
+
+    def _tb_scalar(self, tag: str, value: float, step: int) -> None:
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+    def _flush_step_buffer(self, step_buf) -> None:
+        """Materialize buffered per-step device scalars into TB events
+        (one host transfer per epoch instead of one per step)."""
+        if self.tb is None or not step_buf:
+            return
+        for gstep, loss, cm_up in step_buf:
+            m = {k: float(v) for k, v in
+                 metrics_from_confusion(cm_up).items()}
+            m["loss"] = float(loss)
+            for key in self._STEP_TAGS:
+                name = self._TB_NAMES.get(key, key)
+                self.tb.add_scalar(f"train_{name}_step", m[key], gstep)
+        self.tb.flush()
 
     @staticmethod
     def _setup_logging(log_dir: str) -> logging.Logger:
@@ -112,7 +145,8 @@ class Trainer:
                                     for k, v in sample_batch.items()},
                                    self.config.learning_rate,
                                    scheduler=self.config.scheduler,
-                                   total_steps=total_steps)
+                                   total_steps=total_steps,
+                                   pretrained_backbone=self.pretrained_backbone)
         if self.mesh is not None:
             rep = replicated_sharding(self.mesh)
             state = jax.tree_util.tree_map(
@@ -173,6 +207,9 @@ class Trainer:
             # and serialize the prefetch pipeline
             loss_sum = jnp.zeros(())
             nb = 0
+            gstep0 = int(self.state.step)  # one sync per epoch, not per step
+            step_buf = []
+            log_every = cfg.log_every_n_steps if self.tb is not None else 0
             # device_put happens inside the prefetch thread so the host->
             # device transfer of batch i+1 overlaps the device step of i
             put = map(self._put_batch, datamodule.train_batches(epoch))
@@ -181,17 +218,27 @@ class Trainer:
                     self.state, batch, dropout_rng, frozen=frozen)
                 cm = cm + cm_up
                 loss_sum = loss_sum + loss
+                if log_every and nb % log_every == 0:
+                    step_buf.append((gstep0 + nb, loss, cm_up))
                 nb += 1
             train_metrics = {k: float(v) for k, v in
                              metrics_from_confusion(cm).items()}
             train_metrics["loss"] = float(loss_sum) / max(nb, 1)
             train_metrics["time_s"] = time.perf_counter() - t0
+            self._flush_step_buffer(step_buf)
 
             val_metrics = self.evaluate(datamodule.val_batches())
             record = {"epoch": epoch, "frozen": frozen,
                       "train": train_metrics, "val": val_metrics}
             history.append(record)
             self._log_metrics(record)
+            for key in self._STEP_TAGS:
+                name = self._TB_NAMES.get(key, key)
+                self._tb_scalar(f"train_{name}_epoch", train_metrics[key],
+                                epoch)
+                self._tb_scalar(f"val_{name}", val_metrics[key], epoch)
+            if self.tb is not None:
+                self.tb.flush()
             self.logger.info(
                 f"epoch {epoch:3d} | train loss {train_metrics['loss']:.4f} "
                 f"acc {train_metrics['accuracy']:.4f} | val loss "
@@ -272,6 +319,12 @@ class Trainer:
         self._save_confusion_png(cm, label_names)
         record = {"test": {k: v for k, v in metrics.items()}}
         self._log_metrics(record)
+        for key in self._STEP_TAGS:
+            name = self._TB_NAMES.get(key, key)
+            self._tb_scalar(f"test_{name}", metrics[key],
+                            int(self.state.step))
+        if self.tb is not None:
+            self.tb.flush()
         self.logger.info(
             f"test | loss {metrics['loss']:.4f} acc "
             f"{metrics['accuracy']:.4f} f1 {metrics['f1']:.4f}")

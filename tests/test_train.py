@@ -186,3 +186,104 @@ def test_bf16_training_step():
     # params stay fp32 under bf16 compute
     assert all(p.dtype == jnp.float32
                for p in jax.tree_util.tree_leaves(state.params))
+
+
+def test_tensorboard_event_logging(tmp_path):
+    """Fit writes a TensorBoard event file with per-step train scalars
+    (Lightning_Wrapper.py:99-103, log_every_n_steps=1 at demo.py:412) and
+    per-epoch train/val/test curves (demo.py:400-403)."""
+    import glob
+
+    from neighbour_feature_pooling_tpu.utils.tensorboard import (
+        read_scalar_events)
+
+    dm = SyntheticDataModule(num_classes=2, num_samples=64, image_size=16,
+                             batch_size=16)
+    model = get_model("resnet18", "gap_only", 2)
+    cfg = TrainerConfig(learning_rate=1e-3, max_epochs=2, patience=10,
+                        log_dir=str(tmp_path / "logs"),
+                        ckpt_dir=str(tmp_path / "ckpt"),
+                        freeze_nfp=False, log_every_n_steps=1)
+    trainer = Trainer(model, 2, cfg)
+    trainer.fit(dm)
+    trainer.test(dm, restore="best")
+
+    files = glob.glob(str(tmp_path / "logs" / "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = read_scalar_events(files[0])
+    by_tag = {}
+    for step, tag, value in events:
+        by_tag.setdefault(tag, []).append((step, value))
+    # every train step logged, with contiguous global step numbers across
+    # epoch boundaries (the train split is a subset of the 64 samples)
+    steps_per_epoch = dm.split_size("train") // 16  # train drops last partial
+    n_steps = 2 * steps_per_epoch
+    assert [s for s, _ in by_tag["train_loss_step"]] == list(range(n_steps))
+    for tag in ("train_acc_step", "train_f1_step", "train_precision_step",
+                "train_recall_step"):
+        assert len(by_tag[tag]) == n_steps
+    for tag in ("train_loss_epoch", "train_acc_epoch", "val_loss", "val_acc",
+                "val_f1", "val_precision", "val_recall"):
+        assert [s for s, _ in by_tag[tag]] == [0, 1]
+    assert set(t for t in by_tag if t.startswith("test_")) == {
+        "test_loss", "test_acc", "test_f1", "test_precision", "test_recall"}
+    for _, v in by_tag["train_loss_step"]:
+        assert np.isfinite(v)
+
+
+def test_tensorboard_disabled(tmp_path):
+    import glob
+
+    dm = SyntheticDataModule(num_classes=2, num_samples=32, image_size=16,
+                             batch_size=16)
+    model = get_model("resnet18", "gap_only", 2)
+    cfg = TrainerConfig(learning_rate=1e-3, max_epochs=1, patience=10,
+                        log_dir=str(tmp_path / "logs"),
+                        ckpt_dir=str(tmp_path / "ckpt"),
+                        freeze_nfp=False, tensorboard=False)
+    Trainer(model, 2, cfg).fit(dm)
+    assert glob.glob(str(tmp_path / "logs" / "events.out.tfevents.*")) == []
+
+
+def test_pretrained_backbone_injection():
+    """create_train_state(pretrained_backbone=...) replaces the backbone
+    subtree (reference: timm pretrained=True, texture_pooling.py:19) and
+    validates names/shapes."""
+    from neighbour_feature_pooling_tpu.train import create_train_state
+
+    model = get_model("resnet18", "texture_nfp", 3)
+    batch = {"image": jnp.zeros((2, 32, 32, 3)),
+             "label": jnp.zeros((2,), jnp.int32),
+             "weight": jnp.ones((2,))}
+    base = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-4)
+
+    # a fake "ported" tree: the init tree with every leaf shifted by +1
+    import flax
+
+    bb = {"params": jax.tree_util.tree_map(
+              lambda a: np.asarray(a) + 1.0, base.params["backbone"]),
+          "batch_stats": jax.tree_util.tree_map(
+              lambda a: np.asarray(a) + 1.0, base.batch_stats["backbone"])}
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-4,
+                               pretrained_backbone=bb)
+    got = flax.traverse_util.flatten_dict(state.params["backbone"])
+    want = flax.traverse_util.flatten_dict(bb["params"])
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), want[k])
+    # non-backbone params are untouched random init
+    np.testing.assert_allclose(np.asarray(state.params["fc"]["bias"]),
+                               np.asarray(base.params["fc"]["bias"]))
+
+    # shape mismatch raises
+    bad = {"params": dict(bb["params"],
+                          conv1={"kernel": np.zeros((1, 1, 3, 64),
+                                                    np.float32)})}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        create_train_state(model, jax.random.PRNGKey(0), batch, 1e-4,
+                           pretrained_backbone=bad)
+    # missing leaves raise
+    incomplete = dict(bb["params"])
+    incomplete.pop("conv1")
+    with pytest.raises(ValueError, match="tree mismatch"):
+        create_train_state(model, jax.random.PRNGKey(0), batch, 1e-4,
+                           pretrained_backbone={"params": incomplete})
