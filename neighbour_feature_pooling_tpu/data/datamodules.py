@@ -291,6 +291,8 @@ class FolderDataModule(ArrayDataModule):
     """
 
     dataset_name = "folder"
+    #: optional archive URL used by ``prepare_data`` on networked machines
+    download_url: Optional[str] = None
 
     def __init__(self, data_dir: str, num_classes: Optional[int] = None,
                  resize_size: int = 256, input_size: int = 224,
@@ -304,12 +306,40 @@ class FolderDataModule(ArrayDataModule):
         self.split = split
         self.class_names: List[str] = []
 
+    def prepare_data(self) -> None:
+        """Download+extract the dataset when absent and the network is
+        reachable (the reference's lifecycle, ``DataModules.py:42-44``);
+        stays a no-op offline. Also resolves ``data_dir`` to the class-folder
+        root inside an already-extracted archive (e.g. UCMerced unzips to
+        ``UCMerced_LandUse/Images/``)."""
+        from .download import (download_file, extract_archive,
+                               find_class_root, network_available)
+
+        if self.data_dir and os.path.isdir(self.data_dir):
+            root = find_class_root(self.data_dir)
+            if root:
+                self.data_dir = root
+                return
+        if not self.download_url or not network_available():
+            return  # offline: setup() raises with guidance
+        dest = self.data_dir or os.path.join("data", self.dataset_name)
+        archive = download_file(self.download_url,
+                                os.path.join(dest,
+                                             os.path.basename(
+                                                 self.download_url)))
+        extract_archive(archive, dest)
+        root = find_class_root(dest)
+        if root:
+            self.data_dir = root
+
     def _scan(self) -> Tuple[List[str], List[int]]:
         if not self.data_dir or not os.path.isdir(self.data_dir):
+            hint = (f"prepare_data() downloads it on networked machines"
+                    if self.download_url else
+                    f"no public download URL exists for {self.dataset_name}")
             raise FileNotFoundError(
                 f"{type(self).__name__}: data_dir {self.data_dir!r} not "
-                f"found. This offline build cannot download "
-                f"{self.dataset_name}; provide a class-subfolder tree or use "
+                f"found ({hint}); provide a class-subfolder tree or use "
                 f"--dataset synthetic.")
         classes = sorted(
             d for d in os.listdir(self.data_dir)
@@ -354,6 +384,8 @@ class UCMercedDataModule(FolderDataModule):
     """UCMerced LandUse, 21 classes, 256px TIFFs (``demo.py:88-95``)."""
 
     dataset_name = "UCMerced"
+    download_url = \
+        "http://weegee.vision.ucmerced.edu/datasets/UCMerced_LandUse.zip"
 
     def __init__(self, resize_size=256, input_size=224, data_dir=None,
                  batch_size=32, num_workers: int = 0, **kw):
@@ -403,6 +435,13 @@ class EuroSATDataModule(FolderDataModule):
     distributions work out of the box (``demo.py:137-144, 224-228``)."""
 
     dataset_name = "EuroSAT"
+
+    @property
+    def download_url(self):  # 13-band Sentinel-2 GeoTIFFs vs the RGB JPEGs
+        from .download import DATASET_URLS
+
+        return DATASET_URLS["EuroSAT_ms" if self.num_input_channels > 3
+                            else "EuroSAT_rgb"]
 
     def __init__(self, resize_size=64, input_size=64, data_dir=None,
                  batch_size=32, num_workers: int = 0, bands: int = 13, **kw):
@@ -498,6 +537,22 @@ class CIFAR10DataModule(ArrayDataModule):
         super().__init__(10, batch_size, num_workers, transform, **kw)
         self.data_dir = data_dir
 
+    def prepare_data(self) -> None:
+        """torchvision-layout download (``DataModules.py:85-88``): fetch
+        ``cifar-10-python.tar.gz`` and extract ``cifar-10-batches-py`` when
+        absent and the network is reachable."""
+        from .download import (DATASET_URLS, download_file, extract_archive,
+                               network_available)
+
+        dest = self.data_dir or "data"
+        if os.path.isdir(os.path.join(dest, "cifar-10-batches-py")):
+            return
+        if not network_available():
+            return
+        tar = download_file(DATASET_URLS["cifar10"],
+                            os.path.join(dest, "cifar-10-python.tar.gz"))
+        extract_archive(tar, dest)
+
     def setup(self, stage: Optional[str] = None) -> None:
         if self._splits:
             return
@@ -506,8 +561,9 @@ class CIFAR10DataModule(ArrayDataModule):
         root = os.path.join(self.data_dir or "data", "cifar-10-batches-py")
         if not os.path.isdir(root):
             raise FileNotFoundError(
-                f"CIFAR10DataModule: {root} not found (offline build cannot "
-                f"download; use --dataset synthetic)")
+                f"CIFAR10DataModule: {root} not found (prepare_data() "
+                f"downloads it on networked machines; offline, use "
+                f"--dataset synthetic)")
         xs, ys = [], []
         for i in range(1, 6):
             with open(os.path.join(root, f"data_batch_{i}"), "rb") as f:
@@ -559,14 +615,34 @@ class FashionMNISTDataModule(ArrayDataModule):
         return np.frombuffer(data, np.uint8,
                              offset=4 + 4 * ndim).reshape(dims)
 
+    _IDX_FILES = ("train-images-idx3-ubyte", "train-labels-idx1-ubyte",
+                  "t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte")
+
+    def prepare_data(self) -> None:
+        """torchvision-layout IDX download (``DataModules.py:42-44``)."""
+        from .download import (DATASET_URLS, download_file,
+                               network_available)
+
+        root = os.path.join(self.data_dir or "data", "FashionMNIST", "raw")
+        if all(os.path.exists(os.path.join(root, n))
+               or os.path.exists(os.path.join(root, n + ".gz"))
+               for n in self._IDX_FILES):
+            return
+        if not network_available():
+            return
+        for name in self._IDX_FILES:
+            download_file(DATASET_URLS["fashionmnist_base"] + name + ".gz",
+                          os.path.join(root, name + ".gz"))
+
     def setup(self, stage: Optional[str] = None) -> None:
         if self._splits:
             return
         root = os.path.join(self.data_dir or "data", "FashionMNIST", "raw")
         if not os.path.isdir(root):
             raise FileNotFoundError(
-                f"FashionMNISTDataModule: {root} not found (offline build "
-                f"cannot download; use --dataset synthetic)")
+                f"FashionMNISTDataModule: {root} not found (prepare_data() "
+                f"downloads it on networked machines; offline, use "
+                f"--dataset synthetic)")
 
         def load(name):
             for suffix in ("", ".gz"):

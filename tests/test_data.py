@@ -204,3 +204,178 @@ def test_train_transform_stretches_crop():
     # with area scale 0.5 the crop has ~512 px; a stretched resize uses all
     # of them; verify output is not a trivial center crop of the source
     assert not np.allclose(out, img)
+
+
+# ------------------------------------------------------------------ downloads
+# prepare_data() lifecycle (reference DataModules.py:42-44): guarded
+# downloads that activate only when files are absent and the net is
+# reachable. Fake servers via monkeypatched urlopen; no real egress.
+
+
+def _serve(monkeypatch, payloads):
+    """monkeypatch urlopen to serve {url_suffix: bytes}."""
+    import io
+    import urllib.request
+
+    def fake_urlopen(url, timeout=0):
+        for suffix, data in payloads.items():
+            if url.endswith(suffix):
+                return io.BytesIO(data)
+        raise IOError(f"unexpected url {url}")
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+
+def test_network_available_offline_env(monkeypatch):
+    from neighbour_feature_pooling_tpu.data import download
+
+    monkeypatch.setenv(download.OFFLINE_ENV, "1")
+    monkeypatch.setattr(download, "_probe_cache", True)
+    assert download.network_available() is False
+
+
+def test_find_class_root(tmp_path):
+    from neighbour_feature_pooling_tpu.data.download import find_class_root
+
+    base = tmp_path / "UCMerced_LandUse" / "Images"
+    for cls in ("agricultural", "forest"):
+        d = base / cls
+        d.mkdir(parents=True)
+        (d / "x.png").write_bytes(b"")
+    assert find_class_root(str(tmp_path)) == str(base)
+    assert find_class_root(str(base)) == str(base)
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    assert find_class_root(str(empty)) is None
+
+
+def test_download_file_md5_verification(tmp_path, monkeypatch):
+    from neighbour_feature_pooling_tpu.data import download
+
+    _serve(monkeypatch, {"/blob.bin": b"hello"})
+    import hashlib
+
+    good = hashlib.md5(b"hello").hexdigest()
+    p = download.download_file("http://x/blob.bin", str(tmp_path / "blob.bin"),
+                               md5=good)
+    assert open(p, "rb").read() == b"hello"
+    with pytest.raises(IOError, match="md5 mismatch"):
+        download.download_file("http://x/blob.bin",
+                               str(tmp_path / "b2.bin"), md5="0" * 32)
+    assert not (tmp_path / "b2.bin").exists()
+
+
+def test_cifar10_prepare_data_download(tmp_path, monkeypatch):
+    import hashlib
+    import io
+    import pickle
+    import tarfile
+
+    from neighbour_feature_pooling_tpu.data import download
+    from neighbour_feature_pooling_tpu.data.datamodules import (
+        CIFAR10DataModule)
+
+    rng = np.random.default_rng(0)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as t:
+        for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+            blob = pickle.dumps({
+                b"data": rng.integers(0, 255, (4, 3072), dtype=np.uint8),
+                b"labels": [0, 1, 0, 1]})
+            info = tarfile.TarInfo(f"cifar-10-batches-py/{name}")
+            info.size = len(blob)
+            t.addfile(info, io.BytesIO(blob))
+    tar_bytes = buf.getvalue()
+
+    _serve(monkeypatch, {"cifar-10-python.tar.gz": tar_bytes})
+    monkeypatch.setattr(download, "network_available", lambda **kw: True)
+    monkeypatch.setitem(download.MD5S, "cifar-10-python.tar.gz",
+                        hashlib.md5(tar_bytes).hexdigest())
+
+    dm = CIFAR10DataModule(data_dir=str(tmp_path), batch_size=4)
+    dm.prepare_data()
+    assert (tmp_path / "cifar-10-batches-py" / "data_batch_1").exists()
+    dm.setup("fit")
+    batch = next(iter(dm.train_batches(0)))
+    assert batch["image"].shape[0] == 4
+    # second prepare_data is a no-op (files present, no server needed)
+    _serve(monkeypatch, {})
+    dm.prepare_data()
+
+
+def test_fashionmnist_prepare_data_download(tmp_path, monkeypatch):
+    import gzip
+    import hashlib
+
+    from neighbour_feature_pooling_tpu.data import download
+    from neighbour_feature_pooling_tpu.data.datamodules import (
+        FashionMNISTDataModule)
+
+    def idx_images(n):
+        hdr = (2051).to_bytes(4, "big") + n.to_bytes(4, "big") \
+            + (28).to_bytes(4, "big") + (28).to_bytes(4, "big")
+        return hdr + bytes(n * 28 * 28)
+
+    def idx_labels(n):
+        return (2049).to_bytes(4, "big") + n.to_bytes(4, "big") + bytes(n)
+
+    payloads = {}
+    for name, blob in (("train-images-idx3-ubyte", idx_images(8)),
+                       ("train-labels-idx1-ubyte", idx_labels(8)),
+                       ("t10k-images-idx3-ubyte", idx_images(4)),
+                       ("t10k-labels-idx1-ubyte", idx_labels(4))):
+        gz = gzip.compress(blob)
+        payloads[name + ".gz"] = gz
+        monkeypatch.setitem(download.MD5S, name + ".gz",
+                            hashlib.md5(gz).hexdigest())
+    _serve(monkeypatch, payloads)
+    monkeypatch.setattr(download, "network_available", lambda **kw: True)
+
+    dm = FashionMNISTDataModule(data_dir=str(tmp_path), batch_size=4)
+    dm.prepare_data()
+    dm.setup("fit")
+    batch = next(iter(dm.train_batches(0)))
+    assert batch["image"].shape == (4, 32, 32, 3)
+
+
+def test_folder_module_download_and_class_root(tmp_path, monkeypatch):
+    """UCMerced-style flow: zip with a nested Images/ class tree downloads,
+    extracts, and data_dir resolves to the class root."""
+    import io
+    import zipfile
+
+    from PIL import Image
+
+    from neighbour_feature_pooling_tpu.data import download
+    from neighbour_feature_pooling_tpu.data.datamodules import (
+        UCMercedDataModule)
+
+    img = io.BytesIO()
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(img, format="PNG")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for cls in ("agricultural", "forest"):
+            for i in range(3):
+                z.writestr(f"UCMerced_LandUse/Images/{cls}/{cls}{i:02d}.png",
+                           img.getvalue())
+    _serve(monkeypatch, {"UCMerced_LandUse.zip": buf.getvalue()})
+    monkeypatch.setattr(download, "network_available", lambda **kw: True)
+
+    dm = UCMercedDataModule(data_dir=str(tmp_path / "UCMerced"), batch_size=2,
+                            resize_size=32, input_size=24)
+    dm.prepare_data()
+    assert dm.data_dir.endswith(os.path.join("UCMerced_LandUse", "Images"))
+    dm.setup("fit")
+    assert dm.class_names == ["agricultural", "forest"]
+
+
+def test_folder_module_prepare_data_offline_noop(tmp_path, monkeypatch):
+    from neighbour_feature_pooling_tpu.data import download
+    from neighbour_feature_pooling_tpu.data.datamodules import (
+        UCMercedDataModule)
+
+    monkeypatch.setattr(download, "network_available", lambda **kw: False)
+    dm = UCMercedDataModule(data_dir=str(tmp_path / "absent"))
+    dm.prepare_data()  # silent no-op
+    with pytest.raises(FileNotFoundError, match="prepare_data"):
+        dm.setup("fit")
