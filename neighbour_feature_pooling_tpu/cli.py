@@ -203,8 +203,12 @@ def run_experiment(seed: int, config: Dict) -> float:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from .parallel import initialize_distributed
     from .utils import enable_compilation_cache
 
+    # multi-host entry: no-op unless JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES
+    # request a multi-process launch (one process per TPU host)
+    initialize_distributed()
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.dataset = _normalize_dataset(args.dataset)

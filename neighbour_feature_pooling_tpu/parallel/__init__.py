@@ -1,5 +1,11 @@
-"""Mesh/sharding utilities for multi-chip scaling."""
+"""Mesh/sharding utilities for multi-chip and multi-host scaling."""
 
+from .dist import (  # noqa: F401
+    global_batch_from_local,
+    initialize_distributed,
+    is_multiprocess,
+    local_batch_slice,
+)
 from .mesh import (  # noqa: F401
     create_mesh,
     data_sharding,

@@ -1,0 +1,117 @@
+"""Multi-host (multi-process) readiness.
+
+The reference is strictly single-device (``/root/reference/demo.py:404-412``,
+SURVEY §2.6); single-host multi-chip scaling lives in ``mesh.py``. This
+module adds the *multi-host* layer for real TPU pods: one python process per
+host, ``jax.distributed`` over DCN for control, data still flowing over ICI
+via the same single-program ``jit``.
+
+The TPU-native recipe (How to Scale Your Model / jax.distributed docs):
+
+1. every process calls :func:`initialize_distributed` first — a no-op for
+   single-process runs, so the same entry point works everywhere;
+2. each process loads only its slice of every global batch
+   (:func:`local_batch_slice`);
+3. the local slice becomes one globally-sharded ``jax.Array`` via
+   ``jax.make_array_from_process_local_data``
+   (:func:`global_batch_from_local`) — on a single process this degenerates
+   to a plain sharded ``device_put``, so the trainer code path is identical.
+
+No real multi-host hardware exists in this container; everything here is
+unit-covered in the single-process case and exercised on the virtual
+8-device CPU mesh (``tests/test_sharding.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from .mesh import data_sharding
+
+__all__ = ["initialize_distributed", "local_batch_slice",
+           "global_batch_from_local", "is_multiprocess"]
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Initialize ``jax.distributed`` when a multi-process launch is
+    requested; return whether it was.
+
+    Resolution order: explicit args → standard env vars
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``,
+    the names ``jax.distributed.initialize`` itself reads) → TPU-pod
+    auto-detection is left to jax when only the coordinator is given.
+    Single-process runs (nothing set) return ``False`` without touching the
+    backend, so this is safe to call unconditionally at CLI startup.
+    """
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and not num_processes:
+        return False
+    if num_processes == 1:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def local_batch_slice(batch: Dict[str, np.ndarray],
+                      process_index: Optional[int] = None,
+                      process_count: Optional[int] = None
+                      ) -> Dict[str, np.ndarray]:
+    """This process's rows of a global batch.
+
+    The global batch size must divide evenly by the process count (datamodule
+    batches are already zero-weight padded to full size, so this always
+    holds when ``global_bs % process_count == 0``). Contiguous block
+    slicing — process p owns rows ``[p*n_local, (p+1)*n_local)`` — matches
+    the device order of a 1-D mesh built from ``jax.devices()``, which sorts
+    by process.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        n = v.shape[0]
+        if n % pc:
+            raise ValueError(
+                f"global batch size {n} not divisible by process count {pc}")
+        n_local = n // pc
+        out[k] = v[pi * n_local:(pi + 1) * n_local]
+    return out
+
+
+def global_batch_from_local(local_batch: Dict[str, np.ndarray], mesh,
+                            axis_name: str = "data") -> Dict[str, jax.Array]:
+    """Assemble per-process local shards into globally-sharded arrays.
+
+    Single-process: identical to ``shard_batch`` (one sharded device_put).
+    Multi-process: ``jax.make_array_from_process_local_data`` builds the
+    global array without any cross-host data movement — each process's rows
+    land on its own devices; the training step's collectives ride ICI/DCN
+    as XLA schedules them.
+    """
+    sharding = data_sharding(mesh, axis_name)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(np.asarray(v), sharding)
+                for k, v in local_batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in local_batch.items()
+    }

@@ -43,7 +43,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.prefetch import prefetch
-from ..parallel.mesh import replicated_sharding, shard_batch
+from ..parallel.dist import global_batch_from_local, local_batch_slice
+from ..parallel.mesh import replicated_sharding
 from ..utils.tensorboard import SummaryWriter
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .engine import TrainState, create_train_state, make_eval_step, make_train_step
@@ -134,8 +135,11 @@ class Trainer:
 
     def _put_batch(self, batch):
         if self.mesh is not None:
-            # one direct host->device transfer with the target sharding
-            return shard_batch(batch, self.mesh)
+            # Multi-host: keep only this process's rows, then assemble the
+            # globally-sharded array (no cross-host copies). Single-process
+            # this reduces to one direct device_put with the target sharding.
+            local = local_batch_slice(batch)
+            return global_batch_from_local(local, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def init_state(self, sample_batch, total_steps: int = 0) -> TrainState:

@@ -93,3 +93,53 @@ def test_graft_entry_single():
     fn, (variables, x) = ge.entry()
     out = jax.jit(fn)(variables, x[:2])
     assert out.shape == (2, 21)
+
+
+def test_local_batch_slice():
+    from neighbour_feature_pooling_tpu.parallel import local_batch_slice
+
+    batch = {"image": np.arange(8 * 2).reshape(8, 2).astype(np.float32),
+             "label": np.arange(8)}
+    # single process: identity
+    assert local_batch_slice(batch, 0, 1) is batch
+    # 4 processes: contiguous row blocks
+    for pi in range(4):
+        loc = local_batch_slice(batch, pi, 4)
+        np.testing.assert_array_equal(loc["label"], [2 * pi, 2 * pi + 1])
+        np.testing.assert_array_equal(loc["image"],
+                                      batch["image"][2 * pi:2 * pi + 2])
+    with pytest.raises(ValueError, match="not divisible"):
+        local_batch_slice(batch, 0, 3)
+
+
+def test_initialize_distributed_noop(monkeypatch):
+    from neighbour_feature_pooling_tpu.parallel import initialize_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_distributed() is False
+    assert initialize_distributed(num_processes=1) is False
+
+
+def test_global_batch_from_local_single_process_equals_shard_batch():
+    from neighbour_feature_pooling_tpu.parallel import (
+        create_mesh, global_batch_from_local, local_batch_slice, shard_batch)
+
+    mesh = create_mesh(jax.devices()[:8])
+    batch = {"image": np.random.default_rng(0)
+             .standard_normal((16, 4, 4, 3)).astype(np.float32),
+             "label": np.arange(16, dtype=np.int32)}
+    a = global_batch_from_local(local_batch_slice(batch), mesh)
+    b = shard_batch(batch, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a[k].sharding == b[k].sharding
+
+
+def test_multiprocess_dryrun_two_hosts():
+    """True multi-host smoke: 2 subprocesses x 4 virtual CPU devices,
+    jax.distributed over localhost, same jitted train step."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, num_processes=2, coordinator_port=56917)
