@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "texture_pooling.py:19)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay fp32)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone blocks in the backward pass "
+                        "(more FLOPs, less HBM; enables larger batches)")
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
@@ -151,6 +154,7 @@ def run_experiment(seed: int, config: Dict) -> float:
         nfp_intermediate_layer_idx=config.get("nfp_intermediate_layer_idx", 1),
         nfp_mid_layer_idx=config.get("nfp_mid_layer_idx", 1),
         dtype=jnp.bfloat16 if config.get("bf16") else jnp.float32,
+        remat=config.get("remat", False),
     )
 
     mesh = None
@@ -253,6 +257,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "label_smoothing": args.label_smoothing,
         "num_samples": args.num_samples,
         "pretrained": args.pretrained,
+        "remat": args.remat,
     }
 
     results = []

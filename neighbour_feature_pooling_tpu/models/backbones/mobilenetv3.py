@@ -144,6 +144,7 @@ class MobileNetV3Large(nn.Module):
     dtype: Dtype = jnp.float32
     num_features: int = 960
     head_features: int = 1280
+    remat: bool = False  # checkpoint each inverted-residual block
 
     @nn.compact
     def __call__(self, x, train: bool = False, mode: str = "full",
@@ -157,13 +158,15 @@ class MobileNetV3Large(nn.Module):
                         dtype=self.dtype, name="conv_stem")(x)
             x = hard_swish(norm("bn1")(x))
 
+        block_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
+                     if self.remat else InvertedResidual)
         feats: List[jnp.ndarray] = []
         for si, stage in enumerate(_STAGES):
             if start_at_block is not None and si < start_at_block:
                 continue
             for bi, cfg in enumerate(stage):
-                x = InvertedResidual(cfg, self.dtype,
-                                     name=f"blocks_{si}_{bi}")(x, train)
+                x = block_cls(cfg, self.dtype,
+                              name=f"blocks_{si}_{bi}")(x, train)
             if si in (0, 1, 2, 4):
                 feats.append(x)
             if stop_after_block is not None and si == stop_after_block:

@@ -86,6 +86,10 @@ class ResNet(nn.Module):
     block: str  # 'basic' | 'bottleneck'
     layers: Sequence[int]
     dtype: Dtype = jnp.float32
+    #: rematerialize each residual block in the backward pass
+    #: (jax.checkpoint): trades ~33% extra FLOPs for not keeping block
+    #: activations alive, unlocking larger train batches in HBM
+    remat: bool = False
 
     @property
     def num_features(self) -> int:
@@ -102,6 +106,8 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         blk = BasicBlock if self.block == "basic" else Bottleneck
+        if self.remat:
+            blk = nn.remat(blk, static_argnums=(2,))  # (self, x, train)
         stages: List[jnp.ndarray] = []
         for i, (planes, n_blocks) in enumerate(
                 zip((64, 128, 256, 512), self.layers)):

@@ -65,6 +65,7 @@ class ViT(nn.Module):
     mlp_ratio: float = 4.0
     num_patches: int = 196  # (224/16)²
     dtype: Dtype = jnp.float32
+    remat: bool = False  # checkpoint each encoder block
 
     @property
     def num_features(self) -> int:
@@ -98,9 +99,10 @@ class ViT(nn.Module):
                             axis=1)
         x = x + pos.astype(x.dtype)
 
+        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         for i in range(self.depth):
-            x = EncoderBlock(self.num_heads, self.mlp_ratio, self.dtype,
-                             name=f"block_{i}")(x)
+            x = block_cls(self.num_heads, self.mlp_ratio, self.dtype,
+                          name=f"block_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x  # (B, 1+N, D)
 

@@ -138,6 +138,7 @@ class TextureModel(nn.Module):
     num_codes: int = 32
     radam_m: int = 4
     dtype: Dtype = jnp.float32
+    remat: bool = False  # checkpoint backbone blocks (larger train batches)
 
     def _backbone(self):
         from .backbones.resnet import ResNet
@@ -146,14 +147,17 @@ class TextureModel(nn.Module):
         mt = canonical_model_type(self.model_type)
         if mt == "resnet18":
             return ResNet(block="basic", layers=(2, 2, 2, 2),
-                          dtype=self.dtype, name="backbone")
+                          dtype=self.dtype, remat=self.remat,
+                          name="backbone")
         if mt == "resnet50":
             return ResNet(block="bottleneck", layers=(3, 4, 6, 3),
-                          dtype=self.dtype, name="backbone")
+                          dtype=self.dtype, remat=self.remat,
+                          name="backbone")
         if mt == "mobilenetv3":
-            return MobileNetV3Large(dtype=self.dtype, name="backbone")
+            return MobileNetV3Large(dtype=self.dtype, remat=self.remat,
+                                    name="backbone")
         if mt == "vittiny":
-            return ViT(dtype=self.dtype, name="backbone")
+            return ViT(dtype=self.dtype, remat=self.remat, name="backbone")
         raise ValueError(f"Unknown model_type: {self.model_type}")
 
     @nn.compact

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .measures import MeasureConfig, get_measure
+from .measures import MeasureConfig, get_measure, get_separable
 from .neighborhood import (
     neighbor_offsets,
     nfp_output_size,
@@ -148,6 +148,69 @@ def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
         o_ref[...] = m.finalize(out, similarity).astype(o_ref.dtype)
 
 
+def _nfp_kernel_chw(x_ref, o_ref, *, radius: int, measure: str,
+                    similarity: bool, p: float, eps: float, q_scs: float,
+                    dilation: int, h_out: int, w_out: int, fuse_gap: bool,
+                    strip: int, n_chan: int):
+    """Large-map kernel body, channels-first layout (bb, C, Hp, Wp).
+
+    The VPU's vector registers are (8 sublanes × 128 lanes) with the MINOR
+    axis on the lanes. The NHWC bodies put channels minor — at the
+    multi-stage taps (112×112×16, 56×56×24, …) that wastes 7/8 of the lanes.
+    Here W sits on the lanes (112 ≈ 128) and H-strip rows on the sublanes;
+    channels become a ``fori_loop`` that ACCUMULATES each measure's
+    per-channel sums (``measures.SEPARABLE``), so no cross-lane reduction
+    exists at all. Input blocks are DMA'd HBM→VMEM by Pallas's grid
+    pipeline (double-buffered across programs).
+    """
+    m = get_measure(measure)
+    sep = get_separable(measure)
+    cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
+    r = radius * dilation
+    offsets = neighbor_offsets(radius)
+    n = len(offsets)
+    bb = x_ref.shape[0]
+    n_strips = h_out // strip
+
+    def strip_body(si, gap_sums):
+        h0 = si * strip
+        parts = []
+        for ni, (i, j) in enumerate(offsets):  # static unroll, k²−1
+            wj = j * dilation
+
+            def chan_body(ci, accs, _i=i, _wj=wj, _h0=h0):
+                csl = x_ref[:, pl.ds(ci, 1), pl.ds(r + _h0, strip),
+                            r:r + w_out].astype(jnp.float32)
+                nsl = x_ref[:, pl.ds(ci, 1),
+                            pl.ds(_i * dilation + _h0, strip),
+                            _wj:_wj + w_out].astype(jnp.float32)
+                terms = sep.map_terms(csl, nsl, cfg)
+                return tuple(a + t for a, t in zip(accs, terms))
+
+            accs0 = tuple(jnp.zeros((bb, 1, strip, w_out), jnp.float32)
+                          for _ in range(sep.n_acc))
+            accs = jax.lax.fori_loop(0, n_chan, chan_body, accs0)
+            val = sep.finalize_sums(accs, n_chan, cfg)  # (bb,1,strip,w')
+            if fuse_gap:
+                s3 = jnp.sum(val, axis=3, keepdims=True)
+                s2 = jnp.sum(s3, axis=2, keepdims=True)  # (bb,1,1,1)
+                parts.append(s2[:, 0])                   # (bb,1,1)
+            else:
+                if not m.needs_softmax_over_neighbors:
+                    val = m.finalize(val, similarity)
+                o_ref[:, ni, pl.ds(h0, strip), :] = val[:, 0].astype(
+                    o_ref.dtype)
+        if fuse_gap:
+            return gap_sums + jnp.concatenate(parts, axis=-1)  # (bb,1,N)
+        return gap_sums
+
+    sums0 = jnp.zeros((bb, 1, n), jnp.float32)
+    sums = jax.lax.fori_loop(0, n_strips, strip_body, sums0)
+    if fuse_gap:
+        acc = sums[:, 0, :] / float(h_out * w_out)  # (bb, N)
+        o_ref[:, 0, :] = m.finalize(acc, similarity).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "measure", "similarity", "p", "eps", "q_scs",
@@ -234,6 +297,9 @@ def nfp_pallas(
                                 lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
 
+    operand = xp
+    in_spec = pl.BlockSpec((bb, hp, wp, c), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
     if h_out * w_out <= 256:
         # small texture-head maps: whole-image unrolled body
         kernel = functools.partial(
@@ -241,6 +307,26 @@ def nfp_pallas(
             similarity=similarity, p=p, eps=eps, q_scs=q_scs,
             dilation=dilation, h_out=h_out, w_out=w_out, fuse_gap=fuse_gap,
         )
+    elif get_separable(measure) is not None:
+        # large maps, channel-accumulable measure: channels-first body with
+        # W on the VPU lanes (see _nfp_kernel_chw)
+        sep = get_separable(measure)
+        denom = (sep.n_acc + 3) * bb * w_out * 4
+        cap = max(1, min(h_out, (4 << 20) // max(denom, 1)))
+        strip_chw = 1
+        for cand in range(cap, 0, -1):
+            if h_out % cand == 0:
+                strip_chw = cand
+                break
+        kernel = functools.partial(
+            _nfp_kernel_chw, radius=radius, measure=measure,
+            similarity=similarity, p=p, eps=eps, q_scs=q_scs,
+            dilation=dilation, h_out=h_out, w_out=w_out, fuse_gap=fuse_gap,
+            strip=strip_chw, n_chan=c,
+        )
+        operand = jnp.transpose(xp, (0, 3, 1, 2))  # (B, C, Hp, Wp)
+        in_spec = pl.BlockSpec((bb, c, hp, wp), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
     else:
         kernel = functools.partial(
             _nfp_kernel, radius=radius, measure=measure,
@@ -257,15 +343,14 @@ def nfp_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        in_specs=[pl.BlockSpec((bb, hp, wp, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[in_spec],
         out_specs=out_spec,
         out_shape=out_shape,
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp)
+    )(operand)
     if fuse_gap:
         return out.reshape(b, n)
     return jnp.transpose(out, (0, 2, 3, 1))  # (B, H', W', N)
@@ -309,22 +394,27 @@ def nfp(
                     padding, dilation, padding_mode, data_format, fuse_gap)[0]
 
 
-#: dispatch policy, measured on v5e-1: at texture-head map sizes the Pallas
-#: kernel and the XLA-fused oracle are equal (both trivially fast, kernel
-#: bit-exact); at large multi-stage maps (112²) the oracle's fusion wins
-#: ~1.7× over the strip-mined kernel — these stencil reductions are
-#: bandwidth-bound and XLA fuses them optimally. "auto" uses the kernel up
-#: to this many output positions and the oracle beyond.
+#: dispatch policy, measured on v5e-1 (see PARITY.md "NFP kernel vs oracle"):
+#: * texture-head maps (≤256 positions): kernel, bit-exact and never slower;
+#: * large maps with a channel-accumulable measure and few channels: the
+#:   channels-first kernel body keeps W on the VPU lanes and wins up to
+#:   4.4× over the XLA oracle at the MobileNetV3 multi-stage taps
+#:   (56²×24 map 3.5×, 28²×40 fused-GAP 4.4×, 112²×16 ≈ tie); at C≥64 the
+#:   oracle's own fusion is ~1.3× faster, so the kernel bows out there.
 _PALLAS_MAX_POSITIONS = 256
+_PALLAS_CHW_MAX_CHANNELS = 48
 
 
 def _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
                    padding, dilation, padding_mode, data_format, fuse_gap):
     h_axis, w_axis = (2, 3) if data_format == "NCHW" else (1, 2)
+    c_axis = 1 if data_format == "NCHW" else 3
     h_out = nfp_output_size(x.shape[h_axis], radius, stride, padding, dilation)
     w_out = nfp_output_size(x.shape[w_axis], radius, stride, padding, dilation)
-    if (pallas_supported(measure, stride)
-            and h_out * w_out <= _PALLAS_MAX_POSITIONS):
+    small_map = h_out * w_out <= _PALLAS_MAX_POSITIONS
+    chw_eligible = (get_separable(measure) is not None
+                    and x.shape[c_axis] <= _PALLAS_CHW_MAX_CHANNELS)
+    if pallas_supported(measure, stride) and (small_map or chw_eligible):
         xh = jnp.transpose(x, (0, 2, 3, 1)) if data_format == "NCHW" else x
         out = nfp_pallas(
             xh, radius, measure, similarity=similarity, p=p, eps=eps,

@@ -34,7 +34,8 @@ import optax
 from .metrics import confusion_matrix_update, init_confusion
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "make_eval_step", "cross_entropy_loss", "freeze_mask"]
+           "make_eval_step", "cross_entropy_loss", "freeze_mask",
+           "train_step_body"]
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -152,6 +153,36 @@ def create_train_state(model, rng: jax.Array, sample_batch: Dict[str, jax.Array]
     )
 
 
+def train_step_body(state: TrainState, batch, dropout_rng, frozen: bool,
+                    num_classes: int, label_smoothing: float = 0.05,
+                    freeze_substrings: Tuple[str, ...] = ("nfp_head",
+                                                          "se_gate")):
+    """One optimizer step as a pure traceable function — the unit that
+    ``make_train_step`` jits and that multi-step callers ``lax.scan`` over
+    (each scan iteration gets a distinct dropout rng via ``state.step``)."""
+    step_rng = jax.random.fold_in(dropout_rng, state.step)
+
+    def loss_fn(params):
+        logits, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"], train=True,
+            rngs={"dropout": step_rng},
+            mutable=["batch_stats"])
+        loss = cross_entropy_loss(logits, batch["label"], batch["weight"],
+                                  label_smoothing)
+        return loss, (logits, mutated.get("batch_stats", {}))
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    if frozen:
+        mask = freeze_mask(state.params, freeze_substrings)
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+    state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+    cm = confusion_matrix_update(init_confusion(num_classes), logits,
+                                 batch["label"], batch["weight"])
+    return state, loss, cm
+
+
 def make_train_step(num_classes: int, label_smoothing: float = 0.05,
                     freeze_substrings: Tuple[str, ...] = ("nfp_head",
                                                           "se_gate")):
@@ -164,27 +195,9 @@ def make_train_step(num_classes: int, label_smoothing: float = 0.05,
     @functools.partial(jax.jit, static_argnames=("frozen",),
                        donate_argnames=("state",))
     def train_step(state: TrainState, batch, dropout_rng, frozen: bool = False):
-        step_rng = jax.random.fold_in(dropout_rng, state.step)
-
-        def loss_fn(params):
-            logits, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["image"], train=True,
-                rngs={"dropout": step_rng},
-                mutable=["batch_stats"])
-            loss = cross_entropy_loss(logits, batch["label"], batch["weight"],
-                                      label_smoothing)
-            return loss, (logits, mutated.get("batch_stats", {}))
-
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        if frozen:
-            mask = freeze_mask(state.params, freeze_substrings)
-            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
-        state = state.apply_gradients(grads).replace(batch_stats=new_stats)
-        cm = confusion_matrix_update(init_confusion(num_classes), logits,
-                                     batch["label"], batch["weight"])
-        return state, loss, cm
+        return train_step_body(state, batch, dropout_rng, frozen,
+                               num_classes, label_smoothing,
+                               freeze_substrings)
 
     return train_step
 

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Train-step throughput measurement on the real TPU chip.
+
+One configuration per invocation (keeps TPU compiles per process to 1, the
+relay wedges on killed compiles). Appends one JSON line to ``--out``.
+
+Modes:
+* ``loop``  — the trainer's production path: one jitted optimizer step per
+  host dispatch (state chains through donation, so steps serialize on
+  device; the final loss fetch is the only host sync).
+* ``scan``  — K optimizer steps per dispatch via ``lax.scan`` over
+  ``train_step_body``: measures pure device throughput with host dispatch
+  amortized K×. The gap between loop and scan is the per-dispatch overhead
+  through the relay.
+
+Examples:
+  python scripts/bench_train.py --mode loop --batch 64
+  python scripts/bench_train.py --mode scan --scan_steps 8 --batch 128 --bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["loop", "scan"], default="loop")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--scan_steps", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=30,
+                    help="loop: optimizer steps; scan: dispatches "
+                         "(each = scan_steps optimizer steps)")
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--model_type", default="resnet18")
+    ap.add_argument("--variant", default="texture_nfp")
+    ap.add_argument("--num_classes", type=int, default=21)
+    ap.add_argument("--out", default=os.path.join(REPO, "bench_train.jsonl"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.train import (create_train_state,
+                                                     make_train_step)
+    from neighbour_feature_pooling_tpu.train.engine import train_step_body
+    from neighbour_feature_pooling_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = get_model(args.model_type, args.variant, args.num_classes,
+                      dtype=dtype, remat=args.remat)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.standard_normal((args.batch, args.img, args.img, 3))
+            .astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, args.num_classes, args.batch),
+                             jnp.int32),
+        "weight": jnp.ones((args.batch,), jnp.float32),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-4)
+    drng = jax.random.PRNGKey(1)
+
+    if args.mode == "loop":
+        step = make_train_step(args.num_classes)
+        for _ in range(args.warmup):
+            state, loss, _ = step(state, batch, drng, frozen=False)
+        float(loss)  # sync
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, loss, _ = step(state, batch, drng, frozen=False)
+        final = float(loss)
+        dt = time.perf_counter() - t0
+        n_steps = args.iters
+    else:
+        body = functools.partial(train_step_body,
+                                 num_classes=args.num_classes)
+
+        @functools.partial(jax.jit, donate_argnames=("state",))
+        def multi(state, batch, drng):
+            def f(s, _):
+                s2, loss, _cm = body(s, batch, drng, False)
+                return s2, loss
+
+            state, losses = jax.lax.scan(f, state, None,
+                                         length=args.scan_steps)
+            return state, losses[-1]
+
+        for _ in range(args.warmup):
+            state, loss = multi(state, batch, drng)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, loss = multi(state, batch, drng)
+        final = float(loss)
+        dt = time.perf_counter() - t0
+        n_steps = args.iters * args.scan_steps
+
+    img_per_s = args.batch * n_steps / dt
+    rec = {
+        "mode": args.mode,
+        "model": f"{args.model_type}+{args.variant}",
+        "batch": args.batch, "img": args.img,
+        "dtype": "bf16" if args.bf16 else "fp32",
+        "remat": args.remat,
+        "scan_steps": args.scan_steps if args.mode == "scan" else 1,
+        "steps": n_steps, "seconds": round(dt, 3),
+        "img_per_s": round(img_per_s, 1),
+        "ms_per_step": round(1000 * dt / n_steps, 2),
+        "final_loss": round(final, 4),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(rec))
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

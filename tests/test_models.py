@@ -122,3 +122,34 @@ def test_backbone_feature_shapes():
     v = vit.init(jax.random.PRNGKey(0), x)
     t = vit.apply(v, x)
     assert t.shape == (1, 197, 192)
+
+
+def test_remat_gradients_match():
+    """remat=True must be numerically a no-op: same loss, same gradients
+    (it only changes what the backward pass recomputes), for all three
+    backbone families."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+
+    for mt in ("resnet18", "mobilenetv3", "vittiny"):
+        base = get_model(mt, "gap_only", 3)
+        rem = get_model(mt, "gap_only", 3, remat=True)
+        v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+        def loss(variables, model):
+            out, _ = model.apply(variables, x, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(1)},
+                                 mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        l0, g0 = jax.value_and_grad(lambda vv: loss(vv, base))(v)
+        l1, g1 = jax.value_and_grad(lambda vv: loss(vv, rem))(v)
+        assert abs(float(l0) - float(l1)) < 1e-5, mt
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4,
+                                       err_msg=mt)

@@ -174,3 +174,63 @@ def test_degenerate_inputs_finite(measure):
               jnp.ones((1, 5, 5, 8)) * -3.0):
         out = nfp_reference(x, 1, measure, padding=1)
         assert bool(jnp.all(jnp.isfinite(out))), measure
+
+
+def test_separable_forms_match_pairwise():
+    """Every measure's channel-accumulator form (measures.SEPARABLE) must
+    reproduce its pairwise form exactly — the CHW kernel's math."""
+    from neighbour_feature_pooling_tpu.ops.measures import (
+        MEASURES, SEPARABLE, MeasureConfig)
+
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.standard_normal((4, 5, 16)).astype(np.float32))
+    n = jnp.asarray(rng.standard_normal((4, 5, 16)).astype(np.float32))
+    for p in (1.0, 2.0, 3.0):
+        cfg = MeasureConfig(p=p)
+        for name, sep in SEPARABLE.items():
+            ref = MEASURES[name].pairwise(c, n, -1, cfg)
+            sums = tuple(jnp.zeros((4, 5), jnp.float32)
+                         for _ in range(sep.n_acc))
+            for ci in range(16):
+                terms = sep.map_terms(c[..., ci], n[..., ci], cfg)
+                sums = tuple(s + t for s, t in zip(sums, terms))
+            got = sep.finalize_sums(sums, 16, cfg)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-5, rtol=1e-5,
+                                       err_msg=f"{name} p={p}")
+
+
+@pytest.mark.parametrize("measure", ["cosine", "norm", "rmse", "smith",
+                                     "scs", "attention", "canberra"])
+def test_pallas_chw_kernel_matches_oracle_large_map(measure):
+    """Large maps (>256 positions) route separable measures to the
+    channels-first kernel body; parity vs the oracle on a 28x28 map
+    (interpret mode off-TPU), both sign conventions, map + fused GAP."""
+    from neighbour_feature_pooling_tpu.ops.nfp_pallas import nfp_pallas
+
+    x = jnp.asarray(_rand((2, 28, 28, 16), seed=29))
+    for fuse_gap in (False, True):
+        for sim in (True, False):
+            want = nfp_reference(x, 1, measure, similarity=sim, padding=1,
+                                 fuse_gap=fuse_gap)
+            got = nfp_pallas(x, 1, measure, similarity=sim, padding=1,
+                             fuse_gap=fuse_gap, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+                err_msg=f"{measure} fuse_gap={fuse_gap} sim={sim}")
+
+
+def test_pallas_chw_kernel_odd_width_and_r2():
+    """CHW body geometry: non-square odd widths and R=2 (24 neighbors)."""
+    from neighbour_feature_pooling_tpu.ops.nfp_pallas import nfp_pallas
+
+    x = jnp.asarray(_rand((2, 30, 27, 12), seed=31))
+    want = nfp_reference(x, 1, "cosine", padding=1)
+    got = nfp_pallas(x, 1, "cosine", padding=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+    x2 = jnp.asarray(_rand((1, 20, 19, 8), seed=32))
+    want2 = nfp_reference(x2, 2, "cosine", padding=2)
+    got2 = nfp_pallas(x2, 2, "cosine", padding=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=2e-5, rtol=1e-5)
