@@ -59,6 +59,39 @@ def measure_tpu(batch=BATCH, iters=30, warmup=5):
     return batch / dt
 
 
+def measure_tpu_train(batch=64, iters=20, warmup=3):
+    """Train-step throughput (fwd+bwd+Adam) for the flagship config —
+    the path a real user spends chip-hours on. Loop mode = the trainer's
+    production dispatch pattern."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.train import (create_train_state,
+                                                     make_train_step)
+
+    model = get_model("resnet18", "texture_nfp", 21)
+    rng = np.random.default_rng(0)
+    b = {
+        "image": jnp.asarray(rng.standard_normal((batch, IMG, IMG, 3))
+                             .astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 21, batch), jnp.int32),
+        "weight": jnp.ones((batch,), jnp.float32),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(0), b, 1e-4)
+    step = make_train_step(21)
+    drng = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, loss, _ = step(state, b, drng, frozen=False)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = step(state, b, drng, frozen=False)
+    float(loss)
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def measure_torch_cpu_baseline(batch=32, iters=5, warmup=2):
     """PyTorch CPU reference: standard ResNet18 features + the reference's
     NFPPooling (imported read-only from /root/reference) + fusion head."""
@@ -167,6 +200,10 @@ def main():
     }
     if estimated:
         record["baseline_estimated"] = True
+    try:
+        record["train_img_per_s"] = round(measure_tpu_train(), 1)
+    except Exception as e:  # the headline metric must survive regardless
+        print(f"# train measurement failed: {e}", file=sys.stderr)
     print(json.dumps(record))
 
 

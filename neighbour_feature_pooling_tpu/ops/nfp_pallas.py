@@ -283,16 +283,19 @@ def nfp_pallas(
             strip = cand
             break
 
+    # Kernel outputs are always fp32 (the in-kernel math is fp32; bf16
+    # stores hit Mosaic's unimplemented "Lane broadcast" lowering); the
+    # final cast back to x.dtype happens outside and fuses into consumers.
     if fuse_gap:
         # (BB, 1, N) keeps the last-two block dims equal to the array dims,
         # as the Mosaic lowering requires; squeezed to (B, N) below.
-        out_shape = jax.ShapeDtypeStruct((b, 1, n), x.dtype)
+        out_shape = jax.ShapeDtypeStruct((b, 1, n), jnp.float32)
         out_spec = pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
         # neighbor-major layout (B, N, H', W'): the kernel's per-neighbor
         # store then indexes a non-minor dim; transposed to NHWC below
-        out_shape = jax.ShapeDtypeStruct((b, n, h_out, w_out), x.dtype)
+        out_shape = jax.ShapeDtypeStruct((b, n, h_out, w_out), jnp.float32)
         out_spec = pl.BlockSpec((bb, n, h_out, w_out),
                                 lambda i: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -351,6 +354,7 @@ def nfp_pallas(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(operand)
+    out = out.astype(x.dtype)
     if fuse_gap:
         return out.reshape(b, n)
     return jnp.transpose(out, (0, 2, 3, 1))  # (B, H', W', N)
