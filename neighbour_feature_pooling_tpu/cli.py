@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks in the backward pass "
                         "(more FLOPs, less HBM; enables larger batches)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace of the first N train "
+                        "steps into {log_dir}/profile")
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
@@ -196,6 +199,7 @@ def run_experiment(seed: int, config: Dict) -> float:
         min_delta=config["min_delta"],
         label_smoothing=config.get("label_smoothing", 0.05),
         scheduler=config.get("scheduler", "none"),
+        profile_steps=config.get("profile_steps", 0),
         freeze_nfp=True, unfreeze_epoch=5,  # demo.py:376-377
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
     ), mesh=mesh, pretrained_backbone=pretrained_backbone)
@@ -258,6 +262,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "num_samples": args.num_samples,
         "pretrained": args.pretrained,
         "remat": args.remat,
+        "profile_steps": args.profile_steps,
     }
 
     results = []

@@ -69,6 +69,7 @@ class TrainerConfig:
     ckpt_dir: str = "checkpoints/run"
     log_every_n_steps: int = 1  # demo.py:412; 0 disables per-step logging
     tensorboard: bool = True    # demo.py:400-403
+    profile_steps: int = 0      # >0: jax.profiler trace of the first N steps
     seed: int = 42
 
 
@@ -196,6 +197,8 @@ class Trainer:
                     f"resumed from last checkpoint at epoch {start_epoch}")
 
         dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
+        prof_left = cfg.profile_steps  # steps still to capture in the trace
+        prof_active = False
         best_val_loss = float("inf")
         patience_left = cfg.patience
         sched_best = float("inf")
@@ -218,10 +221,25 @@ class Trainer:
             # device transfer of batch i+1 overlaps the device step of i
             put = map(self._put_batch, datamodule.train_batches(epoch))
             for batch in prefetch(put):
+                if prof_left > 0 and not prof_active:
+                    # skip step 0 of the run (compile); trace the next N
+                    if epoch > start_epoch or nb > 0:
+                        jax.profiler.start_trace(
+                            os.path.join(cfg.log_dir, "profile"))
+                        prof_active = True
                 self.state, loss, cm_up = self._train_step(
                     self.state, batch, dropout_rng, frozen=frozen)
                 cm = cm + cm_up
                 loss_sum = loss_sum + loss
+                if prof_active:
+                    prof_left -= 1
+                    if prof_left <= 0:
+                        jax.block_until_ready(loss)
+                        jax.profiler.stop_trace()
+                        prof_active = False
+                        self.logger.info(
+                            f"profiler trace ({cfg.profile_steps} steps) -> "
+                            f"{os.path.join(cfg.log_dir, 'profile')}")
                 if log_every and nb % log_every == 0:
                     step_buf.append((gstep0 + nb, loss, cm_up))
                 nb += 1
@@ -285,6 +303,8 @@ class Trainer:
                         f"early stopping at epoch {epoch} "
                         f"(val_loss plateau, patience {cfg.patience})")
                     break
+        if prof_active:  # run ended before the trace filled
+            jax.profiler.stop_trace()
         return {"history": history, "best": self.best}
 
     # ----------------------------------------------------------------- eval

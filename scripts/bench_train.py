@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--input_bf16", action="store_true",
+                    help="feed bf16 images (halves the host->device batch "
+                         "buffer; the model casts to its compute dtype "
+                         "anyway)")
     ap.add_argument("--scan_steps", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30,
                     help="loop: optimizer steps; scan: dispatches "
@@ -65,10 +69,11 @@ def main() -> None:
     model = get_model(args.model_type, args.variant, args.num_classes,
                       dtype=dtype, remat=args.remat)
     rng = np.random.default_rng(0)
+    img_dtype = jnp.bfloat16 if args.input_bf16 else jnp.float32
     batch = {
         "image": jnp.asarray(
             rng.standard_normal((args.batch, args.img, args.img, 3))
-            .astype(np.float32)),
+            .astype(np.float32)).astype(img_dtype),
         "label": jnp.asarray(rng.integers(0, args.num_classes, args.batch),
                              jnp.int32),
         "weight": jnp.ones((args.batch,), jnp.float32),

@@ -287,3 +287,21 @@ def test_pretrained_backbone_injection():
     with pytest.raises(ValueError, match="tree mismatch"):
         create_train_state(model, jax.random.PRNGKey(0), batch, 1e-4,
                            pretrained_backbone={"params": incomplete})
+
+
+def test_profile_steps_trace(tmp_path):
+    """profile_steps=N captures a jax.profiler trace of early train steps."""
+    import glob
+
+    dm = SyntheticDataModule(num_classes=2, num_samples=48, image_size=16,
+                             batch_size=16)
+    model = get_model("resnet18", "gap_only", 2)
+    cfg = TrainerConfig(learning_rate=1e-3, max_epochs=2, patience=10,
+                        log_dir=str(tmp_path / "logs"),
+                        ckpt_dir=str(tmp_path / "ckpt"),
+                        freeze_nfp=False, profile_steps=2, tensorboard=False)
+    Trainer(model, 2, cfg).fit(dm)
+    # a plugins/profile/<ts>/ dir with a .trace or .pb appears
+    found = glob.glob(str(tmp_path / "logs" / "profile" / "**" / "*"),
+                      recursive=True)
+    assert any(os.path.isfile(f) for f in found), found
