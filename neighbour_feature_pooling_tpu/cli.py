@@ -203,10 +203,14 @@ def run_experiment(seed: int, config: Dict) -> float:
         freeze_nfp=True, unfreeze_epoch=5,  # demo.py:376-377
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
     ), mesh=mesh, pretrained_backbone=pretrained_backbone)
-    trainer.fit(data_module)
-    metrics = trainer.test(data_module, restore="best",
-                           label_names=getattr(data_module, "class_names",
-                                               None) or None)
+    try:
+        trainer.fit(data_module)
+        metrics = trainer.test(data_module, restore="best",
+                               label_names=getattr(data_module,
+                                                   "class_names",
+                                                   None) or None)
+    finally:
+        trainer.close()
     return metrics["accuracy"]
 
 

@@ -109,6 +109,28 @@ class DataModule:
         print(f"First batch image shape: {batch['image'].shape}, "
               f"labels: {batch['label'].shape}")
 
+    #: multi-host: explicit overrides; None = ask jax (1 process -> no-op)
+    process_index: Optional[int] = None
+    process_count: Optional[int] = None
+
+    def _process_info(self) -> Tuple[int, int]:
+        """(process_index, process_count) for per-process batch slicing.
+
+        Each process decodes/augments ONLY its rows of every global batch
+        (the trainer assembles them into one globally-sharded array via
+        ``parallel.dist.global_batch_from_local``) — N-times-redundant host
+        augmentation would otherwise eat the multi-host speedup."""
+        if self.process_index is not None and self.process_count is not None:
+            return self.process_index, self.process_count
+        try:
+            import jax  # noqa: PLC0415
+
+            if jax.process_count() > 1:
+                return jax.process_index(), jax.process_count()
+        except Exception:
+            pass
+        return 0, 1
+
 
 @dataclasses.dataclass
 class _Split:
@@ -181,29 +203,52 @@ class ArrayDataModule(DataModule):
         end = n
         if shuffle and n >= bs:
             end = (n // bs) * bs
+        pi, pc = self._process_info()
+        pad_to = bs
+        if pc > 1:
+            if bs % pc:
+                raise ValueError(
+                    f"global batch size {bs} not divisible by process "
+                    f"count {pc}")
+            pad_to = bs // pc
         for start in range(0, end, bs):
             idx = order[start: start + bs]
+            if pc > 1:
+                # this process's contiguous row block of the global batch
+                # (padding rows conceptually fill the tail, so a short final
+                # eval batch still splits consistently across processes)
+                idx = idx[pi * pad_to: (pi + 1) * pad_to]
             raw = [self._decode(sp.images[i]) for i in idx]
-            if native_ok:
-                imgs = self._augment_native(raw, shuffle, rng)
+            # per-RECORD augmentation rngs (seed, epoch, sample index): the
+            # random crop/flip of a sample is independent of batch order and
+            # process layout, so multi-host runs augment identically to
+            # single-host ones (grain-style per-record seeding)
+            img_rngs = [np.random.default_rng([self.seed, epoch, int(i)])
+                        for i in idx]
+            if len(raw) == 0:
+                # all of this process's rows are padding (tiny tail batch)
+                c = self.num_input_channels
+                imgs = np.zeros((0, self.transform.input_size,
+                                 self.transform.input_size, c), np.float32)
+            elif native_ok:
+                imgs = self._augment_native(raw, shuffle, img_rngs)
             else:
                 imgs = np.stack([
-                    train_transform(img, self.transform, rng) if shuffle
+                    train_transform(img, self.transform, r) if shuffle
                     else eval_transform(img, self.transform)
-                    for img in raw])
-            yield _pad_batch(imgs, sp.labels[idx], bs)
+                    for img, r in zip(raw, img_rngs)])
+            yield _pad_batch(imgs, sp.labels[idx], pad_to)
 
-    def _augment_native(self, raw, train: bool,
-                        rng: np.random.Generator) -> np.ndarray:
+    def _augment_native(self, raw, train: bool, img_rngs) -> np.ndarray:
         """Single fused crop+resize+flip+normalize batch call (C++)."""
         from .. import native  # noqa: PLC0415
         from .transforms import plan_eval, plan_train  # noqa: PLC0415
 
         cfg = self.transform
         crops, flips = [], []
-        for img in raw:
+        for img, r in zip(raw, img_rngs):
             if train:
-                box, flip = plan_train(img.shape[:2], cfg, rng)
+                box, flip = plan_train(img.shape[:2], cfg, r)
             else:
                 box, flip = plan_eval(img.shape[:2], cfg), 0
             crops.append(box)
@@ -311,23 +356,29 @@ class FolderDataModule(ArrayDataModule):
         reachable (the reference's lifecycle, ``DataModules.py:42-44``);
         stays a no-op offline. Also resolves ``data_dir`` to the class-folder
         root inside an already-extracted archive (e.g. UCMerced unzips to
-        ``UCMerced_LandUse/Images/``)."""
-        from .download import (download_file, extract_archive,
-                               find_class_root, network_available)
+        ``UCMerced_LandUse/Images/``), including the default download
+        destination, so a previously-downloaded tree is found offline and
+        never re-extracted. In multi-process runs only process 0 downloads;
+        the others wait at a barrier."""
+        from .download import (download_barrier, download_file,
+                               extract_archive, find_class_root,
+                               is_download_leader, network_available)
 
-        if self.data_dir and os.path.isdir(self.data_dir):
-            root = find_class_root(self.data_dir)
+        dest = self.data_dir or os.path.join("data", self.dataset_name)
+        if os.path.isdir(dest):
+            root = find_class_root(dest)
             if root:
                 self.data_dir = root
                 return
         if not self.download_url or not network_available():
             return  # offline: setup() raises with guidance
-        dest = self.data_dir or os.path.join("data", self.dataset_name)
-        archive = download_file(self.download_url,
-                                os.path.join(dest,
-                                             os.path.basename(
-                                                 self.download_url)))
-        extract_archive(archive, dest)
+        if is_download_leader():
+            archive = download_file(self.download_url,
+                                    os.path.join(dest,
+                                                 os.path.basename(
+                                                     self.download_url)))
+            extract_archive(archive, dest)
+        download_barrier()
         root = find_class_root(dest)
         if root:
             self.data_dir = root
@@ -541,7 +592,8 @@ class CIFAR10DataModule(ArrayDataModule):
         """torchvision-layout download (``DataModules.py:85-88``): fetch
         ``cifar-10-python.tar.gz`` and extract ``cifar-10-batches-py`` when
         absent and the network is reachable."""
-        from .download import (DATASET_URLS, download_file, extract_archive,
+        from .download import (DATASET_URLS, download_barrier, download_file,
+                               extract_archive, is_download_leader,
                                network_available)
 
         dest = self.data_dir or "data"
@@ -549,9 +601,11 @@ class CIFAR10DataModule(ArrayDataModule):
             return
         if not network_available():
             return
-        tar = download_file(DATASET_URLS["cifar10"],
-                            os.path.join(dest, "cifar-10-python.tar.gz"))
-        extract_archive(tar, dest)
+        if is_download_leader():
+            tar = download_file(DATASET_URLS["cifar10"],
+                                os.path.join(dest, "cifar-10-python.tar.gz"))
+            extract_archive(tar, dest)
+        download_barrier()
 
     def setup(self, stage: Optional[str] = None) -> None:
         if self._splits:
@@ -620,8 +674,8 @@ class FashionMNISTDataModule(ArrayDataModule):
 
     def prepare_data(self) -> None:
         """torchvision-layout IDX download (``DataModules.py:42-44``)."""
-        from .download import (DATASET_URLS, download_file,
-                               network_available)
+        from .download import (DATASET_URLS, download_barrier, download_file,
+                               is_download_leader, network_available)
 
         root = os.path.join(self.data_dir or "data", "FashionMNIST", "raw")
         if all(os.path.exists(os.path.join(root, n))
@@ -630,9 +684,12 @@ class FashionMNISTDataModule(ArrayDataModule):
             return
         if not network_available():
             return
-        for name in self._IDX_FILES:
-            download_file(DATASET_URLS["fashionmnist_base"] + name + ".gz",
-                          os.path.join(root, name + ".gz"))
+        if is_download_leader():
+            for name in self._IDX_FILES:
+                download_file(
+                    DATASET_URLS["fashionmnist_base"] + name + ".gz",
+                    os.path.join(root, name + ".gz"))
+        download_barrier()
 
     def setup(self, stage: Optional[str] = None) -> None:
         if self._splits:

@@ -27,7 +27,8 @@ import zipfile
 from typing import Iterable, Optional
 
 __all__ = ["network_available", "download_file", "extract_archive",
-           "find_class_root", "DATASET_URLS"]
+           "find_class_root", "DATASET_URLS", "is_download_leader",
+           "download_barrier"]
 
 #: set to "1" to hard-disable all downloads regardless of reachability
 OFFLINE_ENV = "NFP_TPU_OFFLINE"
@@ -73,6 +74,34 @@ def network_available(timeout: float = 3.0, force_probe: bool = False) -> bool:
             continue
     _probe_cache = ok
     return ok
+
+
+def is_download_leader() -> bool:
+    """True when this process should perform downloads. In a multi-process
+    (multi-host) launch only process 0 downloads — N processes writing the
+    same ``.part`` file on a shared filesystem corrupt the archive (the
+    reference's Lightning likewise downloads on rank 0 only)."""
+    try:
+        import jax  # noqa: PLC0415
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def download_barrier() -> None:
+    """Block until every process reaches this point (no-op single-process):
+    non-leader processes must not proceed to ``setup()`` before the
+    leader finishes extracting."""
+    try:
+        import jax  # noqa: PLC0415
+
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils  # noqa: PLC0415
+
+            multihost_utils.sync_global_devices("nfp_tpu_prepare_data")
+    except ImportError:
+        pass
 
 
 def _md5(path: str) -> str:

@@ -64,6 +64,9 @@ def _nfp_kernel_unrolled(x_ref, o_ref, *, radius: int, measure: str,
     of scoped VMEM here and take the strip-mined body below instead.
     """
     m = get_measure(measure)
+    # softmax measures (attention) are intercepted by nfp_pallas and
+    # recursed as 'dot' + an XLA softmax epilogue; no kernel body sees them
+    assert not m.needs_softmax_over_neighbors
     cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
     xp = x_ref[...].astype(jnp.float32)  # (BB, Hp, Wp, C)
     r = radius * dilation
@@ -75,9 +78,6 @@ def _nfp_kernel_unrolled(x_ref, o_ref, *, radius: int, measure: str,
         nb = xp[:, hi:hi + h_out, wj:wj + w_out, :]
         cols.append(m.pairwise(center, nb, -1, cfg))  # (BB, H', W')
     out = jnp.stack(cols, axis=1)  # (BB, N, H', W')
-
-    if m.needs_softmax_over_neighbors:
-        out = jax.nn.softmax(out, axis=1)
     out = m.finalize(out, similarity)
 
     if fuse_gap:
@@ -102,6 +102,7 @@ def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
     accumulation both hit Mosaic relayout limitations).
     """
     m = get_measure(measure)
+    assert not m.needs_softmax_over_neighbors  # intercepted by nfp_pallas
     cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
     r = radius * dilation
     offsets = neighbor_offsets(radius)
@@ -125,8 +126,7 @@ def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
                 parts.append(jnp.sum(jnp.sum(col, axis=2, keepdims=True),
                                      axis=1, keepdims=True))  # (BB, 1, 1)
             else:
-                if not m.needs_softmax_over_neighbors:
-                    col = m.finalize(col, similarity)
+                col = m.finalize(col, similarity)
                 o_ref[:, ni, pl.ds(h0, strip), :] = col.astype(o_ref.dtype)
         if fuse_gap:
             return sums + jnp.concatenate(parts, axis=-1)  # (BB, 1, N)
@@ -138,14 +138,6 @@ def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
     if fuse_gap:
         acc = sums[:, 0, :] / float(h_out * w_out)  # (BB, N)
         o_ref[:, 0, :] = m.finalize(acc, similarity).astype(o_ref.dtype)
-        return
-
-    # attention epilogue: softmax over neighbors, then the sign convention
-    # (fuse_gap + attention is routed to the non-fused kernel by the caller:
-    # mean-of-softmax != softmax-of-mean)
-    if m.needs_softmax_over_neighbors:
-        out = jax.nn.softmax(o_ref[...].astype(jnp.float32), axis=1)
-        o_ref[...] = m.finalize(out, similarity).astype(o_ref.dtype)
 
 
 def _nfp_kernel_chw(x_ref, o_ref, *, radius: int, measure: str,
@@ -164,6 +156,7 @@ def _nfp_kernel_chw(x_ref, o_ref, *, radius: int, measure: str,
     pipeline (double-buffered across programs).
     """
     m = get_measure(measure)
+    assert not m.needs_softmax_over_neighbors  # intercepted by nfp_pallas
     sep = get_separable(measure)
     cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
     r = radius * dilation
@@ -196,8 +189,7 @@ def _nfp_kernel_chw(x_ref, o_ref, *, radius: int, measure: str,
                 s2 = jnp.sum(s3, axis=2, keepdims=True)  # (bb,1,1,1)
                 parts.append(s2[:, 0])                   # (bb,1,1)
             else:
-                if not m.needs_softmax_over_neighbors:
-                    val = m.finalize(val, similarity)
+                val = m.finalize(val, similarity)
                 o_ref[:, ni, pl.ds(h0, strip), :] = val[:, 0].astype(
                     o_ref.dtype)
         if fuse_gap:

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 __all__ = [
     "confusion_matrix_update",
     "metrics_from_confusion",
+    "metrics_from_confusion_np",
     "init_confusion",
 ]
 
@@ -77,4 +78,31 @@ def metrics_from_confusion(cm: jax.Array, eps: float = 1e-12
         "precision": jnp.mean(precision),
         "recall": jnp.mean(recall),
         "f1": jnp.mean(f1),
+    }
+
+
+def metrics_from_confusion_np(cm, eps: float = 1e-12):
+    """Pure-numpy twin of :func:`metrics_from_confusion` for HOST-side
+    post-processing (e.g. materializing an epoch's buffered per-step
+    confusion updates in one transfer) — no device dispatch per call."""
+    import numpy as np
+
+    cm = np.asarray(cm, np.float32)
+    total = cm.sum()
+    tp = np.diagonal(cm)
+    true_per_class = cm.sum(axis=1)
+    pred_per_class = cm.sum(axis=0)
+    micro = tp.sum() / max(total, 1.0)
+    precision = np.where(pred_per_class > 0, tp / (pred_per_class + eps), 0.0)
+    recall = np.where(true_per_class > 0, tp / (true_per_class + eps), 0.0)
+    f1 = np.where(precision + recall > 0,
+                  2 * precision * recall / (precision + recall + eps), 0.0)
+    present = (true_per_class > 0).astype(np.float32)
+    macro_acc = float((recall * present).sum() / max(present.sum(), 1.0))
+    return {
+        "accuracy": macro_acc,
+        "micro_accuracy": float(micro),
+        "precision": float(precision.mean()),
+        "recall": float(recall.mean()),
+        "f1": float(f1.mean()),
     }

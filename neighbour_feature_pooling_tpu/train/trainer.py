@@ -43,12 +43,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.prefetch import prefetch
-from ..parallel.dist import global_batch_from_local, local_batch_slice
+from ..parallel.dist import global_batch_from_local
 from ..parallel.mesh import replicated_sharding
 from ..utils.tensorboard import SummaryWriter
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .engine import TrainState, create_train_state, make_eval_step, make_train_step
-from .metrics import init_confusion, metrics_from_confusion
+from .metrics import (init_confusion, metrics_from_confusion,
+                      metrics_from_confusion_np)
 
 __all__ = ["TrainerConfig", "Trainer"]
 
@@ -102,13 +103,17 @@ class Trainer:
             self.tb.add_scalar(tag, value, step)
 
     def _flush_step_buffer(self, step_buf) -> None:
-        """Materialize buffered per-step device scalars into TB events
-        (one host transfer per epoch instead of one per step)."""
+        """Materialize buffered per-step device scalars into TB events:
+        ONE stacked device fetch per epoch (a per-step ``float()`` costs a
+        ~20ms round trip each through the TPU relay), then host-side numpy
+        metrics."""
         if self.tb is None or not step_buf:
             return
-        for gstep, loss, cm_up in step_buf:
-            m = {k: float(v) for k, v in
-                 metrics_from_confusion(cm_up).items()}
+        losses, cms = jax.device_get(
+            (jnp.stack([loss for _, loss, _ in step_buf]),
+             jnp.stack([cm for _, _, cm in step_buf])))
+        for (gstep, _, _), loss, cm in zip(step_buf, losses, cms):
+            m = metrics_from_confusion_np(cm)
             m["loss"] = float(loss)
             for key in self._STEP_TAGS:
                 name = self._TB_NAMES.get(key, key)
@@ -130,17 +135,24 @@ class Trainer:
             logger.addHandler(sh)
         return logger
 
+    def close(self) -> None:
+        """Release the TensorBoard event-file handle (multi-seed CLI runs
+        construct one Trainer per seed; unclosed handles accumulate)."""
+        if self.tb is not None:
+            self.tb.close()
+
     def _log_metrics(self, record: Dict[str, Any]) -> None:
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
     def _put_batch(self, batch):
         if self.mesh is not None:
-            # Multi-host: keep only this process's rows, then assemble the
-            # globally-sharded array (no cross-host copies). Single-process
-            # this reduces to one direct device_put with the target sharding.
-            local = local_batch_slice(batch)
-            return global_batch_from_local(local, self.mesh)
+            # Datamodules already yield only this process's rows of each
+            # global batch (ArrayDataModule._process_info — decode/augment
+            # is never duplicated across hosts); assemble them into one
+            # globally-sharded array. Single-process this reduces to one
+            # direct device_put with the target sharding.
+            return global_batch_from_local(batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def init_state(self, sample_batch, total_steps: int = 0) -> TrainState:

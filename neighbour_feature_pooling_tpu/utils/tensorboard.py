@@ -155,20 +155,35 @@ def read_scalar_events(path: str):
     """Parse a scalar-only event file back into ``[(step, tag, value)]``.
 
     Test/verification helper (and the documented jsonl-free way to check a
-    run's curves without installing tensorboard). Verifies TFRecord CRCs.
+    run's curves without installing tensorboard). Verifies TFRecord CRCs;
+    a TRUNCATED tail (run killed mid-write) is treated as end-of-file with
+    a warning, like TensorBoard's own reader, while a corrupt complete
+    record still raises ``ValueError``.
     """
+    import warnings
+
     out = []
     with open(path, "rb") as f:
         while True:
             header = f.read(8)
             if len(header) < 8:
+                if header:
+                    warnings.warn(f"{path}: truncated record header at EOF")
                 break
             (n,) = struct.unpack("<Q", header)
-            (hcrc,) = struct.unpack("<I", f.read(4))
+            hcrc_bytes = f.read(4)
+            if len(hcrc_bytes) < 4:
+                warnings.warn(f"{path}: truncated record at EOF")
+                break
+            (hcrc,) = struct.unpack("<I", hcrc_bytes)
             if hcrc != masked_crc(header):
                 raise ValueError("corrupt record header (crc mismatch)")
             payload = f.read(n)
-            (pcrc,) = struct.unpack("<I", f.read(4))
+            pcrc_bytes = f.read(4)
+            if len(payload) < n or len(pcrc_bytes) < 4:
+                warnings.warn(f"{path}: truncated record at EOF")
+                break
+            (pcrc,) = struct.unpack("<I", pcrc_bytes)
             if pcrc != masked_crc(payload):
                 raise ValueError("corrupt record payload (crc mismatch)")
             out.extend(_parse_event(payload))

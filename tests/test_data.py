@@ -379,3 +379,117 @@ def test_folder_module_prepare_data_offline_noop(tmp_path, monkeypatch):
     dm.prepare_data()  # silent no-op
     with pytest.raises(FileNotFoundError, match="prepare_data"):
         dm.setup("fit")
+
+
+def test_folder_prepare_data_finds_default_download_dir(tmp_path, monkeypatch):
+    """A previously-downloaded tree under the DEFAULT destination
+    (data/<name>/...) must be found offline without re-extraction."""
+    from PIL import Image
+
+    from neighbour_feature_pooling_tpu.data import download
+    from neighbour_feature_pooling_tpu.data.datamodules import (
+        UCMercedDataModule)
+
+    monkeypatch.chdir(tmp_path)
+    base = tmp_path / "data" / "UCMerced" / "UCMerced_LandUse" / "Images"
+    for cls in ("a", "b"):
+        d = base / cls
+        d.mkdir(parents=True)
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(d / "x.png")
+    monkeypatch.setattr(download, "network_available", lambda **kw: False)
+
+    dm = UCMercedDataModule(data_dir=None, resize_size=16, input_size=12,
+                            batch_size=2)
+    dm.prepare_data()
+    assert os.path.abspath(dm.data_dir) == str(base)
+    dm.setup("fit")
+    assert dm.class_names == ["a", "b"]
+
+
+def test_process_sliced_batches_partition_global_batch():
+    """Each process decodes only its rows; the union over processes equals
+    the single-process global batch (order and padding included)."""
+    def make(pi=None, pc=None):
+        dm = SyntheticDataModule(num_classes=2, num_samples=40,
+                                 image_size=12, batch_size=8)
+        if pi is not None:
+            dm.process_index, dm.process_count = pi, pc
+        dm.prepare_data()
+        dm.setup("fit")
+        return dm
+
+    ref_batches = list(make().train_batches(3))
+    for pc in (2, 4):
+        per_proc = [list(make(pi, pc).train_batches(3)) for pi in range(pc)]
+        assert all(len(b) == len(ref_batches) for b in per_proc)
+        for bi, ref in enumerate(ref_batches):
+            local = 8 // pc
+            for pi in range(pc):
+                got = per_proc[pi][bi]
+                assert got["image"].shape[0] == local
+                np.testing.assert_array_equal(
+                    got["label"], ref["label"][pi * local:(pi + 1) * local])
+                np.testing.assert_array_equal(
+                    got["weight"], ref["weight"][pi * local:(pi + 1) * local])
+                np.testing.assert_allclose(
+                    got["image"], ref["image"][pi * local:(pi + 1) * local],
+                    atol=1e-6)
+
+
+def test_process_sliced_eval_tail_batch():
+    """A short final eval batch splits consistently: trailing processes get
+    all-padding (weight 0) rows, and total real-row weight is preserved."""
+    def val_rows(pi=None, pc=None):
+        dm = SyntheticDataModule(num_classes=2, num_samples=40,
+                                 image_size=12, batch_size=16)
+        if pi is not None:
+            dm.process_index, dm.process_count = pi, pc
+        dm.prepare_data()
+        dm.setup("fit")
+        return list(dm.val_batches())
+
+    ref = val_rows()
+    total_weight = sum(float(b["weight"].sum()) for b in ref)
+    for pc in (2, 4):
+        split_weight = 0.0
+        for pi in range(pc):
+            batches = val_rows(pi, pc)
+            assert len(batches) == len(ref)
+            split_weight += sum(float(b["weight"].sum()) for b in batches)
+        assert split_weight == total_weight
+
+
+def test_read_scalar_events_truncated_tail(tmp_path):
+    import warnings
+
+    from neighbour_feature_pooling_tpu.utils.tensorboard import (
+        SummaryWriter, read_scalar_events)
+
+    w = SummaryWriter(str(tmp_path))
+    w.add_scalar("a", 1.0, 0)
+    w.add_scalar("b", 2.0, 1)
+    w.close()
+    import glob
+
+    p = glob.glob(str(tmp_path / "events.out.tfevents.*"))[0]
+    blob = open(p, "rb").read()
+    open(p, "wb").write(blob[:-7])  # cut mid-record
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        events = read_scalar_events(p)
+    assert [t for _, t, _ in events] == ["a"]  # last record dropped
+    assert any("truncated" in str(r.message) for r in rec)
+
+
+def test_metrics_np_matches_jnp():
+    import jax.numpy as jnp
+
+    from neighbour_feature_pooling_tpu.train.metrics import (
+        metrics_from_confusion, metrics_from_confusion_np)
+
+    cm = np.random.default_rng(0).integers(0, 30, (6, 6))
+    a = {k: float(v) for k, v in
+         metrics_from_confusion(jnp.asarray(cm)).items()}
+    b = metrics_from_confusion_np(cm)
+    for k in b:
+        assert abs(a[k] - b[k]) < 1e-6, k
