@@ -17,6 +17,7 @@ from neighbour_feature_pooling_tpu.ops import (
     nfp_reference,
     num_neighbors,
 )
+from neighbour_feature_pooling_tpu.ops.measures import SEPARABLE
 from tests.conftest import add_reference_to_path, reference_available
 
 torch = pytest.importorskip("torch")
@@ -200,8 +201,7 @@ def test_separable_forms_match_pairwise():
                                        err_msg=f"{name} p={p}")
 
 
-@pytest.mark.parametrize("measure", ["cosine", "norm", "rmse", "smith",
-                                     "scs", "attention", "canberra"])
+@pytest.mark.parametrize("measure", sorted(SEPARABLE) + ["attention"])
 def test_pallas_chw_kernel_matches_oracle_large_map(measure):
     """Large maps (>256 positions) route separable measures to the
     channels-first kernel body; parity vs the oracle on a 28x28 map
