@@ -59,10 +59,11 @@ def measure_tpu(batch=BATCH, iters=30, warmup=5):
     return batch / dt
 
 
-def measure_tpu_train(batch=64, iters=20, warmup=3):
-    """Train-step throughput (fwd+bwd+Adam) for the flagship config —
-    the path a real user spends chip-hours on. Loop mode = the trainer's
-    production dispatch pattern."""
+def measure_tpu_train(batch=128, iters=20, warmup=3):
+    """Train-step throughput (fwd+bwd+Adam) for the flagship config in the
+    RECOMMENDED production setup (bf16 compute / fp32 master + Adam, B=128
+    — see PARITY.md training table). Loop mode = the trainer's production
+    dispatch pattern."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -71,7 +72,7 @@ def measure_tpu_train(batch=64, iters=20, warmup=3):
     from neighbour_feature_pooling_tpu.train import (create_train_state,
                                                      make_train_step)
 
-    model = get_model("resnet18", "texture_nfp", 21)
+    model = get_model("resnet18", "texture_nfp", 21, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     b = {
         "image": jnp.asarray(rng.standard_normal((batch, IMG, IMG, 3))
@@ -201,7 +202,7 @@ def main():
     if estimated:
         record["baseline_estimated"] = True
     try:
-        record["train_img_per_s"] = round(measure_tpu_train(), 1)
+        record["train_img_per_s_bf16"] = round(measure_tpu_train(), 1)
     except Exception as e:  # the headline metric must survive regardless
         print(f"# train measurement failed: {e}", file=sys.stderr)
     print(json.dumps(record))
