@@ -34,7 +34,9 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 from .measures import MeasureConfig, get_measure, get_separable
 from .neighborhood import (
@@ -203,11 +205,65 @@ def _nfp_kernel_chw(x_ref, o_ref, *, radius: int, measure: str,
         o_ref[:, 0, :] = m.finalize(acc, similarity).astype(o_ref.dtype)
 
 
+def _nfp_kernel_chw_vec(x_ref, o_ref, *, radius: int, measure: str,
+                        similarity: bool, p: float, eps: float, q_scs: float,
+                        dilation: int, h_out: int, w_out: int,
+                        fuse_gap: bool, strip: int, n_chan: int):
+    """Channels-first body, whole-C vector slices (no channel loop).
+
+    Same layout as ``_nfp_kernel_chw`` (W on the VPU lanes), but each
+    neighbor comparison computes its per-channel terms on one
+    (bb, C, strip, W') slice and reduces the C axis with a single
+    non-minor-axis ``jnp.sum`` — fewer, larger VPU ops instead of an
+    n_chan-iteration ``fori_loop``. Costs (n_acc+2) whole-C strip
+    temporaries of VMEM, so the caller picks a smaller strip.
+    """
+    m = get_measure(measure)
+    assert not m.needs_softmax_over_neighbors  # intercepted by nfp_pallas
+    sep = get_separable(measure)
+    cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
+    r = radius * dilation
+    offsets = neighbor_offsets(radius)
+    n = len(offsets)
+    bb = x_ref.shape[0]
+    n_strips = h_out // strip
+
+    def strip_body(si, gap_sums):
+        h0 = si * strip
+        csl = x_ref[:, :, pl.ds(r + h0, strip), r:r + w_out].astype(
+            jnp.float32)
+        parts = []
+        for ni, (i, j) in enumerate(offsets):  # static unroll, k²−1
+            wj = j * dilation
+            nsl = x_ref[:, :, pl.ds(i * dilation + h0, strip),
+                        wj:wj + w_out].astype(jnp.float32)
+            terms = sep.map_terms(csl, nsl, cfg)
+            sums = tuple(jnp.sum(t, axis=1, keepdims=True) for t in terms)
+            val = sep.finalize_sums(sums, n_chan, cfg)  # (bb,1,strip,w')
+            if fuse_gap:
+                s3 = jnp.sum(val, axis=3, keepdims=True)
+                s2 = jnp.sum(s3, axis=2, keepdims=True)  # (bb,1,1,1)
+                parts.append(s2[:, 0])                   # (bb,1,1)
+            else:
+                val = m.finalize(val, similarity)
+                o_ref[:, ni, pl.ds(h0, strip), :] = val[:, 0].astype(
+                    o_ref.dtype)
+        if fuse_gap:
+            return gap_sums + jnp.concatenate(parts, axis=-1)  # (bb,1,N)
+        return gap_sums
+
+    sums0 = jnp.zeros((bb, 1, n), jnp.float32)
+    sums = jax.lax.fori_loop(0, n_strips, strip_body, sums0)
+    if fuse_gap:
+        acc = sums[:, 0, :] / float(h_out * w_out)  # (bb, N)
+        o_ref[:, 0, :] = m.finalize(acc, similarity).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("radius", "measure", "similarity", "p", "eps", "q_scs",
                      "padding", "dilation", "padding_mode", "fuse_gap",
-                     "interpret"),
+                     "interpret", "chw_body"),
 )
 def nfp_pallas(
     x: jax.Array,
@@ -223,8 +279,14 @@ def nfp_pallas(
     padding_mode: str = "reflect",
     fuse_gap: bool = False,
     interpret: bool = False,
+    chw_body: str = "auto",
 ) -> jax.Array:
-    """Run the fused NFP(+GAP) kernel on an NHWC feature map (stride 1)."""
+    """Run the fused NFP(+GAP) kernel on an NHWC feature map (stride 1).
+
+    ``chw_body`` selects the large-map channels-first body: ``"fori"``
+    (per-channel accumulation loop), ``"vec"`` (whole-C vector slices), or
+    ``"auto"`` (measured policy; see the dispatch notes above ``nfp``).
+    """
     m = get_measure(measure)
     if m.needs_softmax_over_neighbors:
         # attention = softmax(dot) per position. The kernel computes the raw
@@ -235,7 +297,7 @@ def nfp_pallas(
         raw = nfp_pallas(x, radius, "dot", similarity=True, p=p, eps=eps,
                          q_scs=q_scs, padding=padding, dilation=dilation,
                          padding_mode=padding_mode, fuse_gap=False,
-                         interpret=interpret)
+                         interpret=interpret, chw_body=chw_body)
         out = m.finalize(jax.nn.softmax(raw, axis=-1), similarity)
         if fuse_gap:
             return jnp.mean(out, axis=(1, 2))
@@ -303,18 +365,29 @@ def nfp_pallas(
             dilation=dilation, h_out=h_out, w_out=w_out, fuse_gap=fuse_gap,
         )
     elif get_separable(measure) is not None:
-        # large maps, channel-accumulable measure: channels-first body with
-        # W on the VPU lanes (see _nfp_kernel_chw)
+        # large maps, channel-accumulable measure: channels-first layout
+        # with W on the VPU lanes. Two bodies (measured policy in the
+        # dispatch notes above ``nfp``): per-channel fori accumulation
+        # (_nfp_kernel_chw) or whole-C vector slices (_nfp_kernel_chw_vec).
         sep = get_separable(measure)
-        denom = (sep.n_acc + 3) * bb * w_out * 4
+        if chw_body not in ("auto", "fori", "vec"):
+            raise ValueError(f"unknown chw_body {chw_body!r}")
+        use_vec = (chw_body == "vec" if chw_body != "auto"
+                   else c > _PALLAS_CHW_VEC_MIN_CHANNELS)
+        if use_vec:
+            # (n_acc+2) whole-C strip temporaries live at once
+            denom = (sep.n_acc + 2) * bb * c * w_out * 4
+        else:
+            denom = (sep.n_acc + 3) * bb * w_out * 4
         cap = max(1, min(h_out, (4 << 20) // max(denom, 1)))
         strip_chw = 1
         for cand in range(cap, 0, -1):
             if h_out % cand == 0:
                 strip_chw = cand
                 break
+        body = _nfp_kernel_chw_vec if use_vec else _nfp_kernel_chw
         kernel = functools.partial(
-            _nfp_kernel_chw, radius=radius, measure=measure,
+            body, radius=radius, measure=measure,
             similarity=similarity, p=p, eps=eps, q_scs=q_scs,
             dilation=dilation, h_out=h_out, w_out=w_out, fuse_gap=fuse_gap,
             strip=strip_chw, n_chan=c,
@@ -390,15 +463,23 @@ def nfp(
                     padding, dilation, padding_mode, data_format, fuse_gap)[0]
 
 
-#: dispatch policy, measured on v5e-1 (see PARITY.md "NFP kernel vs oracle"):
+#: dispatch policy, measured on v5e-1 (see PARITY.md "NFP kernel vs oracle"
+#: for the tables and the run-to-run variance caveat):
 #: * texture-head maps (≤256 positions): kernel, bit-exact and never slower;
-#: * large maps with a channel-accumulable measure and few channels: the
-#:   channels-first kernel body keeps W on the VPU lanes and wins up to
-#:   4.4× over the XLA oracle at the MobileNetV3 multi-stage taps
-#:   (56²×24 map 3.5×, 28²×40 fused-GAP 4.4×, 112²×16 ≈ tie); at C≥64 the
-#:   oracle's own fusion is ~1.3× faster, so the kernel bows out there.
+#: * large maps with a channel-accumulable measure and C ≤ 48: the
+#:   channels-first fori body (W on the VPU lanes, per-channel
+#:   accumulation) — at worst ≈ the XLA oracle, and up to several× faster
+#:   on oracle-unfriendly days (the oracle's fusion quality varies);
+#: * C 49–64 fused-GAP: the whole-C vector body (``_nfp_kernel_chw_vec``),
+#:   the one measured C=64 win (1.22× within-process); C ≥ 64 full maps
+#:   stay with the oracle.
 _PALLAS_MAX_POSITIONS = 256
 _PALLAS_CHW_MAX_CHANNELS = 48
+#: fused-GAP outputs route to the kernel up to this channel count (vec body)
+_PALLAS_CHW_GAP_MAX_CHANNELS = 64
+#: channels-first body choice in "auto": above this channel count the
+#: whole-C vector body replaces the per-channel fori accumulation
+_PALLAS_CHW_VEC_MIN_CHANNELS = 48
 
 
 def _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
@@ -408,8 +489,10 @@ def _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
     h_out = nfp_output_size(x.shape[h_axis], radius, stride, padding, dilation)
     w_out = nfp_output_size(x.shape[w_axis], radius, stride, padding, dilation)
     small_map = h_out * w_out <= _PALLAS_MAX_POSITIONS
+    chw_cap = (_PALLAS_CHW_GAP_MAX_CHANNELS if fuse_gap
+               else _PALLAS_CHW_MAX_CHANNELS)
     chw_eligible = (get_separable(measure) is not None
-                    and x.shape[c_axis] <= _PALLAS_CHW_MAX_CHANNELS)
+                    and x.shape[c_axis] <= chw_cap)
     if pallas_supported(measure, stride) and (small_map or chw_eligible):
         xh = jnp.transpose(x, (0, 2, 3, 1)) if data_format == "NCHW" else x
         out = nfp_pallas(
@@ -428,10 +511,67 @@ def _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(radius, measure, similarity, p, eps, q_scs, stride,
+                         padding, dilation, padding_mode, data_format,
+                         fuse_gap):
+    """SPMD partitioning rule: NFP is embarrassingly parallel over batch.
+
+    XLA's SPMD partitioner treats ``pallas_call`` as an opaque custom call,
+    so on a multi-chip mesh a batch-sharded feature map would be
+    ALL-GATHERED around the kernel (full map on every chip) before this op
+    and the result re-sliced after. This ``custom_partitioning`` wrapper
+    declares dim 0 (batch) of operand and result as pass-through and every
+    other dim as needs-replication, so each shard runs the kernel on its
+    local batch rows and no collective is inserted. Covers both the Shardy
+    partitioner (``sharding_rule``) and the legacy GSPMD callbacks.
+    """
+    out_rank = 2 if fuse_gap else 4
+
+    def _local(x):
+        return _forward_value(x, radius, measure, similarity, p, eps, q_scs,
+                              stride, padding, dilation, padding_mode,
+                              fuse_gap=fuse_gap, data_format=data_format)
+
+    fwd = custom_partitioning(_local)
+
+    def _batch_only(sharding, rank):
+        spec = getattr(sharding, "spec", None)
+        batch = spec[0] if spec is not None and len(spec) > 0 else None
+        return NamedSharding(sharding.mesh,
+                             PartitionSpec(batch, *([None] * (rank - 1))))
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sharding = arg_shapes[0].sharding
+        return (mesh, _local, _batch_only(arg_sharding, out_rank),
+                (_batch_only(arg_sharding, 4),))
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _batch_only(arg_shapes[0].sharding, out_rank)
+
+    out_factors = "b s" if fuse_gap else "b q r s"
+    repl = ("i", "j", "k", "s") if fuse_gap else ("i", "j", "k", "q", "r", "s")
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=f"b i j k -> {out_factors}",
+        need_replication_factors=repl,
+    )
+    return fwd
+
+
 def _nfp_fwd(x, radius, measure, similarity, p, eps, q_scs, stride, padding,
              dilation, padding_mode, data_format, fuse_gap):
-    out = _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
-                         padding, dilation, padding_mode, data_format, fuse_gap)
+    if jax.device_count() > 1:
+        # multi-device environment: route through the batch-partitionable
+        # wrapper so sharded callers never gather the feature map
+        out = _partitioned_forward(radius, measure, similarity, p, eps, q_scs,
+                                   stride, padding, dilation, padding_mode,
+                                   data_format, fuse_gap)(x)
+    else:
+        out = _forward_value(x, radius, measure, similarity, p, eps, q_scs,
+                             stride, padding, dilation, padding_mode,
+                             data_format, fuse_gap)
     return out, x
 
 

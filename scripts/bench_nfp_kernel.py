@@ -37,6 +37,9 @@ def main() -> None:
                     help="subset of shape labels")
     ap.add_argument("--fuse_gap", choices=["on", "off", "both"],
                     default="both")
+    ap.add_argument("--chw_body", choices=["auto", "fori", "vec"],
+                    default="auto",
+                    help="force a channels-first kernel body (large maps)")
     ap.add_argument("--out", default=os.path.join(REPO,
                                                   "bench_nfp_kernel.jsonl"))
     args = ap.parse_args()
@@ -74,7 +77,7 @@ def main() -> None:
         x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
         for fuse in fuse_opts:
             k = lambda xx: nfp_pallas(xx, 1, args.measure, padding=1,  # noqa: E731
-                                      fuse_gap=fuse)
+                                      fuse_gap=fuse, chw_body=args.chw_body)
             o = lambda xx: nfp_reference(xx, 1, args.measure, padding=1,  # noqa: E731
                                          fuse_gap=fuse)
             # correctness first
@@ -84,6 +87,7 @@ def main() -> None:
             rec = {
                 "shape": label, "B": b, "H": h, "W": w, "C": c,
                 "measure": args.measure, "fuse_gap": fuse,
+                "chw_body": args.chw_body,
                 "pallas_ms": round(1e3 * tk, 3),
                 "oracle_ms": round(1e3 * to, 3),
                 "speedup": round(to / tk, 2),

@@ -220,6 +220,25 @@ def test_pallas_chw_kernel_matches_oracle_large_map(measure):
                 err_msg=f"{measure} fuse_gap={fuse_gap} sim={sim}")
 
 
+@pytest.mark.parametrize("measure", ["cosine", "norm", "rmse"])
+def test_pallas_chw_vec_body_matches_oracle(measure):
+    """The whole-C vector variant of the channels-first body
+    (``chw_body="vec"``) matches the oracle at a C=64 large map — the
+    shape (ResNet layer1 tap) where the per-channel fori body loses to
+    the oracle and the vec body is the candidate replacement."""
+    from neighbour_feature_pooling_tpu.ops.nfp_pallas import nfp_pallas
+
+    x = jnp.asarray(_rand((2, 28, 28, 64), seed=37))
+    for fuse_gap in (False, True):
+        want = nfp_reference(x, 1, measure, padding=1, fuse_gap=fuse_gap)
+        for body in ("vec", "fori"):
+            got = nfp_pallas(x, 1, measure, padding=1, fuse_gap=fuse_gap,
+                             interpret=True, chw_body=body)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5,
+                err_msg=f"{measure} body={body} fuse_gap={fuse_gap}")
+
+
 def test_pallas_chw_kernel_odd_width_and_r2():
     """CHW body geometry: non-square odd widths and R=2 (24 neighbors)."""
     from neighbour_feature_pooling_tpu.ops.nfp_pallas import nfp_pallas

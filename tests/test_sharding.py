@@ -137,6 +137,64 @@ def test_global_batch_from_local_single_process_equals_shard_batch():
         assert a[k].sharding == b[k].sharding
 
 
+class TestNFPCustomPartitioning:
+    """The NFP op carries a custom_partitioning rule (batch pass-through).
+
+    On real multi-chip TPU, XLA treats pallas_call as an opaque custom call
+    and would all-gather a batch-sharded feature map around it; the rule
+    makes each shard run the kernel on its local rows. On this CPU mesh the
+    kernel runs in interpret mode, so these tests validate the rule's
+    numerics/shardings and that it introduces no collectives — the
+    hardware-pod gather elision itself needs >1 real chip.
+    """
+
+    def _sharded(self, x):
+        from neighbour_feature_pooling_tpu.parallel import (create_mesh,
+                                                            data_sharding)
+        mesh = create_mesh()
+        return jax.device_put(x, data_sharding(mesh))
+
+    def test_map_parity_and_output_sharding(self):
+        from neighbour_feature_pooling_tpu.ops import nfp
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((16, 7, 7, 32)).astype(np.float32))
+        want = np.asarray(nfp(x, 1, "cosine", padding=1))
+        xs = self._sharded(x)
+        got = jax.jit(lambda a: nfp(a, 1, "cosine", True, 1.0, 1e-6, 1e-6,
+                                    1, 1, 1, "reflect", "NHWC", False))(xs)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+        assert got.sharding.spec[0] == "data"
+
+    def test_fused_gap_grad_parity(self):
+        from neighbour_feature_pooling_tpu.ops import nfp
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((16, 7, 7, 24)).astype(np.float32))
+        g = jax.jit(jax.grad(lambda a: nfp(
+            a, 1, "cosine", True, 1.0, 1e-6, 1e-6, 1, 1, 1, "reflect",
+            "NHWC", True).sum()))
+        np.testing.assert_allclose(np.asarray(g(self._sharded(x))),
+                                   np.asarray(g(x)), atol=1e-6)
+
+    def test_no_collectives_in_sharded_forward(self):
+        import re
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from neighbour_feature_pooling_tpu.ops import nfp
+        from neighbour_feature_pooling_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
+        spec = jax.ShapeDtypeStruct(
+            (16, 7, 7, 32), jnp.float32,
+            sharding=NamedSharding(mesh, P("data")))
+        f = jax.jit(lambda a: nfp(a, 1, "cosine", True, 1.0, 1e-6, 1e-6,
+                                  1, 1, 1, "reflect", "NHWC", False))
+        hlo = f.lower(spec).compile().as_text()
+        assert not re.search(r"all-gather|all-to-all|collective-permute", hlo)
+
+
 def test_multiprocess_dryrun_two_hosts():
     """True multi-host smoke: 2 subprocesses x 4 virtual CPU devices,
     jax.distributed over localhost, same jitted train step."""
