@@ -32,7 +32,10 @@ def measure_tpu(batch=BATCH, iters=30, warmup=5):
 
     enable_compilation_cache()
 
-    model = get_model("resnet18", "texture_nfp", 21)
+    # stem_s2d: space-to-depth stem conv — numerically equivalent (same
+    # multiply-add set, tests/test_models.py::test_stem_s2d_equivalence),
+    # measured faster on v5e (PARITY.md)
+    model = get_model("resnet18", "texture_nfp", 21, stem_s2d=True)
     rng = np.random.default_rng(0)
     # two distinct device-resident inputs, alternated so no caching layer in
     # the experimental tunnel backend can short-circuit repeated calls
@@ -72,7 +75,8 @@ def measure_tpu_train(batch=128, iters=20, warmup=3):
     from neighbour_feature_pooling_tpu.train import (create_train_state,
                                                      make_train_step)
 
-    model = get_model("resnet18", "texture_nfp", 21, dtype=jnp.bfloat16)
+    model = get_model("resnet18", "texture_nfp", 21, dtype=jnp.bfloat16,
+                      stem_s2d=True)
     rng = np.random.default_rng(0)
     b = {
         "image": jnp.asarray(rng.standard_normal((batch, IMG, IMG, 3))

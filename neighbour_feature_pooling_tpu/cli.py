@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks in the backward pass "
                         "(more FLOPs, less HBM; enables larger batches)")
+    p.add_argument("--stem_s2d", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="ResNet stems: compute the 7x7/s2 conv via "
+                        "space-to-depth — numerically equivalent, measured "
+                        "faster on TPU (--no-stem_s2d disables)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N train "
                         "steps into {log_dir}/profile")
@@ -158,6 +163,7 @@ def run_experiment(seed: int, config: Dict) -> float:
         nfp_mid_layer_idx=config.get("nfp_mid_layer_idx", 1),
         dtype=jnp.bfloat16 if config.get("bf16") else jnp.float32,
         remat=config.get("remat", False),
+        stem_s2d=config.get("stem_s2d", True),
     )
 
     mesh = None
@@ -266,6 +272,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "num_samples": args.num_samples,
         "pretrained": args.pretrained,
         "remat": args.remat,
+        "stem_s2d": args.stem_s2d,
         "profile_steps": args.profile_steps,
     }
 

@@ -139,6 +139,9 @@ class TextureModel(nn.Module):
     radam_m: int = 4
     dtype: Dtype = jnp.float32
     remat: bool = False  # checkpoint backbone blocks (larger train batches)
+    #: ResNet stems only: compute the 7×7/s2 conv via space-to-depth (same
+    #: arithmetic, better MXU mapping; see backbones/resnet._StemConvS2D)
+    stem_s2d: bool = False
 
     def _backbone(self):
         from .backbones.resnet import ResNet
@@ -148,11 +151,11 @@ class TextureModel(nn.Module):
         if mt == "resnet18":
             return ResNet(block="basic", layers=(2, 2, 2, 2),
                           dtype=self.dtype, remat=self.remat,
-                          name="backbone")
+                          stem_s2d=self.stem_s2d, name="backbone")
         if mt == "resnet50":
             return ResNet(block="bottleneck", layers=(3, 4, 6, 3),
                           dtype=self.dtype, remat=self.remat,
-                          name="backbone")
+                          stem_s2d=self.stem_s2d, name="backbone")
         if mt == "mobilenetv3":
             return MobileNetV3Large(dtype=self.dtype, remat=self.remat,
                                     name="backbone")

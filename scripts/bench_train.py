@@ -42,6 +42,9 @@ def main() -> None:
                     help="feed bf16 images (halves the host->device batch "
                          "buffer; the model casts to its compute dtype "
                          "anyway)")
+    ap.add_argument("--stem_s2d", action="store_true",
+                    help="ResNet space-to-depth stem conv (same arithmetic, "
+                         "better MXU mapping)")
     ap.add_argument("--scan_steps", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30,
                     help="loop: optimizer steps; scan: dispatches "
@@ -67,7 +70,8 @@ def main() -> None:
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = get_model(args.model_type, args.variant, args.num_classes,
-                      dtype=dtype, remat=args.remat)
+                      dtype=dtype, remat=args.remat,
+                      stem_s2d=args.stem_s2d)
     rng = np.random.default_rng(0)
     img_dtype = jnp.bfloat16 if args.input_bf16 else jnp.float32
     batch = {
@@ -123,6 +127,7 @@ def main() -> None:
         "batch": args.batch, "img": args.img,
         "dtype": "bf16" if args.bf16 else "fp32",
         "remat": args.remat,
+        "stem_s2d": args.stem_s2d,
         "scan_steps": args.scan_steps if args.mode == "scan" else 1,
         "steps": n_steps, "seconds": round(dt, 3),
         "img_per_s": round(img_per_s, 1),

@@ -124,6 +124,50 @@ def test_backbone_feature_shapes():
     assert t.shape == (1, 197, 192)
 
 
+def test_stem_s2d_equivalence():
+    """The space-to-depth stem (stem_s2d=True) is the same arithmetic as
+    the direct 7×7/s2 conv: identical parameter tree, matching outputs and
+    gradients from shared variables, for ResNet18/50, odd-size fallback,
+    and in_chans=13."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    for mt in ("resnet18", "resnet50"):
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3))
+                        .astype(np.float32))
+        base = get_model(mt, "texture_nfp", 3)
+        s2d = get_model(mt, "texture_nfp", 3, stem_s2d=True)
+        v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+        def loss(variables, model):
+            return jnp.sum(model.apply(variables, x, train=False) ** 2)
+
+        l0, g0 = jax.value_and_grad(lambda vv: loss(vv, base))(v)
+        l1, g1 = jax.value_and_grad(lambda vv: loss(vv, s2d))(v)
+        assert abs(float(l0) - float(l1)) < 1e-3 * max(1.0, abs(float(l0)))
+        flat0 = jax.tree_util.tree_leaves_with_path(g0["params"])
+        flat1 = dict(jax.tree_util.tree_leaves_with_path(g1["params"]))
+        for path, a in flat0:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(flat1[path]), atol=1e-3,
+                rtol=1e-3, err_msg=f"{mt} {path}")
+
+    # odd spatial size: falls back to the direct conv, still works
+    xo = jnp.asarray(rng.standard_normal((1, 63, 63, 3)).astype(np.float32))
+    s2d = get_model("resnet18", "gap_only", 3, stem_s2d=True)
+    v = s2d.init({"params": jax.random.PRNGKey(0)}, xo, train=False)
+    assert v["params"]["backbone"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    s2d.apply(v, xo, train=False)
+
+    # 13-band input keeps the (7,7,13,64) parameter shape
+    x13 = jnp.asarray(rng.standard_normal((1, 32, 32, 13)).astype(np.float32))
+    m13 = get_model("resnet18", "gap_only", 3, num_input_channels=13,
+                    stem_s2d=True)
+    v13 = m13.init({"params": jax.random.PRNGKey(0)}, x13, train=False)
+    assert v13["params"]["backbone"]["conv1"]["kernel"].shape == (7, 7, 13, 64)
+
+
 def test_remat_gradients_match():
     """remat=True must be numerically a no-op: same loss, same gradients
     (it only changes what the backward pass recomputes), for all three
