@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N train "
                         "steps into {log_dir}/profile")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="optimizer steps per host dispatch (lax.scan); >1 "
+                        "amortizes dispatch overhead (~10%% through the TPU "
+                        "relay at flagship shapes)")
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
@@ -206,6 +210,7 @@ def run_experiment(seed: int, config: Dict) -> float:
         label_smoothing=config.get("label_smoothing", 0.05),
         scheduler=config.get("scheduler", "none"),
         profile_steps=config.get("profile_steps", 0),
+        steps_per_dispatch=config.get("steps_per_dispatch", 1),
         freeze_nfp=True, unfreeze_epoch=5,  # demo.py:376-377
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
     ), mesh=mesh, pretrained_backbone=pretrained_backbone)
@@ -274,6 +279,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "remat": args.remat,
         "stem_s2d": args.stem_s2d,
         "profile_steps": args.profile_steps,
+        "steps_per_dispatch": args.steps_per_dispatch,
     }
 
     results = []

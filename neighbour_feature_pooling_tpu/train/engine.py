@@ -34,8 +34,8 @@ import optax
 from .metrics import confusion_matrix_update, init_confusion
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "make_eval_step", "cross_entropy_loss", "freeze_mask",
-           "train_step_body"]
+           "make_multi_train_step", "make_eval_step", "cross_entropy_loss",
+           "freeze_mask", "train_step_body"]
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -200,6 +200,41 @@ def make_train_step(num_classes: int, label_smoothing: float = 0.05,
                                freeze_substrings)
 
     return train_step
+
+
+def make_multi_train_step(num_classes: int, k: int,
+                          label_smoothing: float = 0.05,
+                          freeze_substrings: Tuple[str, ...] = ("nfp_head",
+                                                                "se_gate")):
+    """Build a K-optimizer-steps-per-dispatch train step.
+
+    ``lax.scan`` over ``train_step_body`` with batches stacked on a leading
+    (K, ...) axis: one host dispatch drives K device steps, amortizing the
+    per-dispatch overhead (through the TPU relay the single-step loop loses
+    ~10% to dispatch; see PARITY.md training table). Per-step dropout rngs
+    stay distinct (``train_step_body`` folds ``state.step`` in) and metrics
+    stay exact: returns per-step losses ``(K,)`` and confusion updates
+    ``(K, C, C)``.
+
+    Signature: ``(state, stacked_batch, dropout_rng, frozen: bool static)
+    -> (state, losses, confusions)``.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("frozen",),
+                       donate_argnames=("state",))
+    def multi_step(state: TrainState, stacked_batch, dropout_rng,
+                   frozen: bool = False):
+        def f(s, batch):
+            s2, loss, cm = train_step_body(s, batch, dropout_rng, frozen,
+                                           num_classes, label_smoothing,
+                                           freeze_substrings)
+            return s2, (loss, cm)
+
+        state, (losses, cms) = jax.lax.scan(f, state, stacked_batch,
+                                            length=k)
+        return state, losses, cms
+
+    return multi_step
 
 
 def make_eval_step(num_classes: int, label_smoothing: float = 0.05):

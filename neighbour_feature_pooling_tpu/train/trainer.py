@@ -47,7 +47,8 @@ from ..parallel.dist import global_batch_from_local
 from ..parallel.mesh import replicated_sharding
 from ..utils.tensorboard import SummaryWriter
 from .checkpoint import restore_checkpoint, save_checkpoint
-from .engine import TrainState, create_train_state, make_eval_step, make_train_step
+from .engine import (TrainState, create_train_state, make_eval_step,
+                     make_multi_train_step, make_train_step)
 from .metrics import (init_confusion, metrics_from_confusion,
                       metrics_from_confusion_np)
 
@@ -71,6 +72,11 @@ class TrainerConfig:
     log_every_n_steps: int = 1  # demo.py:412; 0 disables per-step logging
     tensorboard: bool = True    # demo.py:400-403
     profile_steps: int = 0      # >0: jax.profiler trace of the first N steps
+    #: optimizer steps per host dispatch (lax.scan over stacked batches);
+    #: >1 amortizes per-dispatch overhead (~10% through the TPU relay at
+    #: ResNet18 B=128 bf16) at the cost of holding K batches on device.
+    #: Metrics stay exact (per-step losses/confusions come back stacked).
+    steps_per_dispatch: int = 1
     seed: int = 42
 
 
@@ -86,6 +92,11 @@ class Trainer:
         self.pretrained_backbone = pretrained_backbone
         self._train_step = make_train_step(num_classes,
                                            config.label_smoothing)
+        self._k = max(1, int(config.steps_per_dispatch))
+        self._multi_step = (
+            make_multi_train_step(num_classes, self._k,
+                                  config.label_smoothing)
+            if self._k > 1 else None)
         self._eval_step = make_eval_step(num_classes, config.label_smoothing)
         os.makedirs(config.log_dir, exist_ok=True)
         self.logger = self._setup_logging(config.log_dir)
@@ -154,6 +165,20 @@ class Trainer:
             # direct device_put with the target sharding.
             return global_batch_from_local(batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def _stack_batches(self, batches):
+        """Stack K device batches on a new leading axis for the scanned
+        multi-step; under a mesh the per-step batch sharding moves to
+        axis 1 (``P(None, "data")``)."""
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batches)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+            stacked = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sh), stacked)
+        return stacked
 
     def init_state(self, sample_batch, total_steps: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed)
@@ -232,7 +257,25 @@ class Trainer:
             # device_put happens inside the prefetch thread so the host->
             # device transfer of batch i+1 overlaps the device step of i
             put = map(self._put_batch, datamodule.train_batches(epoch))
+            pending = []  # steps_per_dispatch>1: batches awaiting a scan
             for batch in prefetch(put):
+                if self._k > 1:
+                    pending.append(batch)
+                    if len(pending) < self._k:
+                        continue
+                    self.state, losses, cms = self._multi_step(
+                        self.state, self._stack_batches(pending),
+                        dropout_rng, frozen=frozen)
+                    pending = []
+                    cm = cm + jnp.sum(cms, axis=0)
+                    loss_sum = loss_sum + jnp.sum(losses)
+                    if log_every:
+                        for i in range(self._k):
+                            if (nb + i) % log_every == 0:
+                                step_buf.append((gstep0 + nb + i,
+                                                 losses[i], cms[i]))
+                    nb += self._k
+                    continue
                 if prof_left > 0 and not prof_active:
                     # skip step 0 of the run (compile); trace the next N
                     if epoch > start_epoch or nb > 0:
@@ -252,6 +295,15 @@ class Trainer:
                         self.logger.info(
                             f"profiler trace ({cfg.profile_steps} steps) -> "
                             f"{os.path.join(cfg.log_dir, 'profile')}")
+                if log_every and nb % log_every == 0:
+                    step_buf.append((gstep0 + nb, loss, cm_up))
+                nb += 1
+            # epoch tail shorter than steps_per_dispatch: single-step path
+            for batch in pending:
+                self.state, loss, cm_up = self._train_step(
+                    self.state, batch, dropout_rng, frozen=frozen)
+                cm = cm + cm_up
+                loss_sum = loss_sum + loss
                 if log_every and nb % log_every == 0:
                     step_buf.append((gstep0 + nb, loss, cm_up))
                 nb += 1

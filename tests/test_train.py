@@ -96,6 +96,87 @@ def test_smoke_train_synthetic(tmp_path):
     assert os.path.exists(tmp_path / "logs" / "metrics.jsonl")
 
 
+def test_multi_train_step_matches_single(tmp_path):
+    """Engine level: one make_multi_train_step(k=2) dispatch equals two
+    single steps — first-step loss/confusion to fp tolerance, and the same
+    step counter. (Bitwise equality across ALL steps is impossible in
+    principle: scan and loop compile to different programs, and Adam's
+    sign-like first update amplifies reduction-order noise — the same
+    caveat as the 1- vs 8-device test in test_sharding.py.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from neighbour_feature_pooling_tpu.train import create_train_state
+    from neighbour_feature_pooling_tpu.train.engine import (
+        make_multi_train_step, make_train_step)
+
+    rng = np.random.default_rng(3)
+    k = 3
+
+    def batch(i):
+        return {
+            "image": jnp.asarray(
+                rng.standard_normal((8, 24, 24, 3)).astype(np.float32)),
+            "label": jnp.asarray(rng.integers(0, 3, 8), jnp.int32),
+            "weight": jnp.ones((8,), jnp.float32),
+        }
+
+    batches = [batch(i) for i in range(k)]
+    model = get_model("resnet18", "gap_only", 3)
+    drng = jax.random.PRNGKey(1)
+
+    s1 = create_train_state(model, jax.random.PRNGKey(0), batches[0], 3e-4)
+    step = make_train_step(3)
+    losses1, cms1 = [], []
+    for b in batches:
+        s1, loss, cm = step(s1, b, drng, frozen=False)
+        losses1.append(float(loss))
+        cms1.append(np.asarray(cm))
+
+    s2 = create_train_state(model, jax.random.PRNGKey(0), batches[0], 3e-4)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    multi = make_multi_train_step(3, k)
+    s2, losses2, cms2 = multi(s2, stacked, drng, frozen=False)
+
+    assert int(s1.step) == int(s2.step) == k
+    assert abs(losses1[0] - float(losses2[0])) < 1e-5
+    np.testing.assert_array_equal(cms1[0], np.asarray(cms2[0]))
+    # later steps: same trajectory statistically (Adam noise amplification)
+    for a, b in zip(losses1[1:], np.asarray(losses2)[1:]):
+        assert abs(a - float(b)) < 5e-2
+
+
+def test_steps_per_dispatch_trainer(tmp_path):
+    """Trainer level: steps_per_dispatch=2 takes the same number of
+    optimizer steps (including the odd epoch tail through the single-step
+    path), trains to a comparable loss, and logs per-step TB scalars."""
+
+    def run(k):
+        dm = SyntheticDataModule(num_classes=3, num_samples=80,
+                                 image_size=24, batch_size=16)
+        model = get_model("resnet18", "gap_only", 3)
+        cfg = TrainerConfig(learning_rate=3e-4, max_epochs=2, patience=10,
+                            log_dir=str(tmp_path / f"logs{k}"),
+                            ckpt_dir=str(tmp_path / f"ckpt{k}"),
+                            freeze_nfp=False, steps_per_dispatch=k,
+                            tensorboard=True)
+        trainer = Trainer(model, 3, cfg)
+        result = trainer.fit(dm)
+        trainer.close()
+        return result["history"], trainer.state
+
+    hist1, state1 = run(1)
+    hist2, state2 = run(2)
+    assert int(state1.step) == int(state2.step)
+    steps_per_epoch = int(state1.step) // len(hist1)
+    assert steps_per_epoch % 2 == 1, "want an odd tail for the k=2 run"
+    for h1, h2 in zip(hist1, hist2):
+        assert abs(h1["train"]["loss"] - h2["train"]["loss"]) < 5e-2
+    ev = [f for f in os.listdir(tmp_path / "logs2")
+          if f.startswith("events.out.tfevents")]
+    assert ev, "per-step TB events must exist for the multi-step path"
+
+
 def test_early_stopping(tmp_path):
     dm = SyntheticDataModule(num_classes=2, num_samples=32, image_size=16,
                              batch_size=16)
