@@ -62,39 +62,41 @@ def measure_tpu(batch=BATCH, iters=30, warmup=5):
     return batch / dt
 
 
-def measure_tpu_train(batch=128, iters=20, warmup=3):
+def measure_tpu_train(batch=128, k=4, iters=8, warmup=2):
     """Train-step throughput (fwd+bwd+Adam) for the flagship config in the
-    RECOMMENDED production setup (bf16 compute / fp32 master + Adam, B=128
-    — see PARITY.md training table). Loop mode = the trainer's production
-    dispatch pattern."""
+    RECOMMENDED production setup (bf16 compute / fp32 master + Adam, B=128,
+    steps_per_dispatch=4 — see PARITY.md training table). Each dispatch
+    scans K optimizer steps over K distinct device-resident batches, the
+    trainer's multi-step production path."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from neighbour_feature_pooling_tpu.models import get_model
-    from neighbour_feature_pooling_tpu.train import (create_train_state,
-                                                     make_train_step)
+    from neighbour_feature_pooling_tpu.train import create_train_state
+    from neighbour_feature_pooling_tpu.train.engine import make_multi_train_step
 
     model = get_model("resnet18", "texture_nfp", 21, dtype=jnp.bfloat16,
                       stem_s2d=True)
     rng = np.random.default_rng(0)
-    b = {
-        "image": jnp.asarray(rng.standard_normal((batch, IMG, IMG, 3))
+    stacked = {
+        "image": jnp.asarray(rng.standard_normal((k, batch, IMG, IMG, 3))
                              .astype(np.float32)),
-        "label": jnp.asarray(rng.integers(0, 21, batch), jnp.int32),
-        "weight": jnp.ones((batch,), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 21, (k, batch)), jnp.int32),
+        "weight": jnp.ones((k, batch), jnp.float32),
     }
-    state = create_train_state(model, jax.random.PRNGKey(0), b, 1e-4)
-    step = make_train_step(21)
+    first = jax.tree_util.tree_map(lambda x: x[0], stacked)
+    state = create_train_state(model, jax.random.PRNGKey(0), first, 1e-4)
+    multi = make_multi_train_step(21, k)
     drng = jax.random.PRNGKey(1)
     for _ in range(warmup):
-        state, loss, _ = step(state, b, drng, frozen=False)
-    float(loss)
+        state, losses, _ = multi(state, stacked, drng, frozen=False)
+    float(losses[-1])
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, loss, _ = step(state, b, drng, frozen=False)
-    float(loss)
-    return batch * iters / (time.perf_counter() - t0)
+        state, losses, _ = multi(state, stacked, drng, frozen=False)
+    float(losses[-1])
+    return batch * k * iters / (time.perf_counter() - t0)
 
 
 def measure_torch_cpu_baseline(batch=32, iters=5, warmup=2):

@@ -37,18 +37,84 @@ class MlpBlock(nn.Module):
         return x
 
 
+class _ProjParams(nn.Module):
+    """Parameter holder replicating one flax DenseGeneral's tree
+    (``kernel``/``bias``) without its computation."""
+
+    kernel_shape: tuple
+    bias_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.kernel_shape)
+        b = self.param("bias", nn.initializers.zeros, self.bias_shape)
+        return k, b
+
+
+class FusedAttention(nn.Module):
+    """Multi-head self-attention with a fused QKV projection.
+
+    Parameter tree is IDENTICAL to ``nn.MultiHeadDotProductAttention``
+    (``query``/``key``/``value`` kernels (D, H, Dh) + ``out`` (H, Dh, D),
+    biases likewise), so ported timm weights and existing checkpoints load
+    unchanged. The computation differs: the three projections run as one
+    (D, 3D) matmul and the head split/merge are plain reshapes — profiling
+    showed flax's per-projection DenseGeneral structure surrounds the
+    attention matmuls with ~140 small layout copies per ViT-Tiny train
+    step (~4 ms of "data formatting", 19% of the step; PARITY.md).
+    Semantics match flax/timm: queries scaled by Dh^-1/2 before QKᵀ.
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, n_valid: int = 0):
+        b, t, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        wq, bq = _ProjParams((d, h, hd), (h, hd), name="query")()
+        wk, bk = _ProjParams((d, h, hd), (h, hd), name="key")()
+        wv, bv = _ProjParams((d, h, hd), (h, hd), name="value")()
+        wo, bo = _ProjParams((h, hd, d), (d,), name="out")()
+
+        wqkv = jnp.concatenate(
+            [w.reshape(d, d) for w in (wq, wk, wv)], axis=1)
+        bqkv = jnp.concatenate([bb.reshape(d) for bb in (bq, bk, bv)])
+        qkv = x @ wqkv.astype(self.dtype) + bqkv.astype(self.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, hd) * (float(hd) ** -0.5)
+        k = k.reshape(b, t, h, hd)
+        v = v.reshape(b, t, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        if 0 < n_valid < t:
+            # trailing key slots are sequence padding: exclude from softmax
+            mask = (jnp.arange(t) < n_valid).reshape(1, 1, 1, t)
+            logits = jnp.where(mask, logits, jnp.asarray(-1e9, logits.dtype))
+        attn = jax.nn.softmax(logits, axis=-1)
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+        return y @ wo.reshape(d, d).astype(self.dtype) + bo.astype(self.dtype)
+
+
 class EncoderBlock(nn.Module):
     num_heads: int
     mlp_ratio: float
     dtype: Dtype = jnp.float32
+    fused_attn: bool = True
+    n_valid: int = 0  # >0: trailing tokens are padding (masked in attention)
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=d, out_features=d,
-            dtype=self.dtype, name="attn")(y, y)
+        if self.fused_attn:
+            y = FusedAttention(num_heads=self.num_heads, dtype=self.dtype,
+                               name="attn")(y, self.n_valid)
+        else:
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, qkv_features=d, out_features=d,
+                dtype=self.dtype, name="attn")(y, y)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MlpBlock(int(d * self.mlp_ratio), self.dtype, name="mlp")(y)
@@ -66,6 +132,15 @@ class ViT(nn.Module):
     num_patches: int = 196  # (224/16)²
     dtype: Dtype = jnp.float32
     remat: bool = False  # checkpoint each encoder block
+    #: fused-QKV attention (FusedAttention; same param tree as the flax
+    #: module, fewer layout copies — measured faster on TPU)
+    fused_attn: bool = True
+    #: >1: zero-pad the token sequence up to the next multiple (197 → 200
+    #: at 224px) for sublane-aligned attention shapes — pad keys masked in
+    #: softmax, pad rows stripped before returning; requires fused_attn.
+    #: Measured on v5e: align 8 wins ~2%, padding all the way to 256 LOSES
+    #: ~20% (extra attention FLOPs outweigh lane alignment). 0/1 disables.
+    seq_align: int = 8
 
     @property
     def num_features(self) -> int:
@@ -99,11 +174,20 @@ class ViT(nn.Module):
                             axis=1)
         x = x + pos.astype(x.dtype)
 
+        n_valid = 0
+        t = x.shape[1]
+        if self.fused_attn and self.seq_align > 1 and t % self.seq_align:
+            target = -(-t // self.seq_align) * self.seq_align
+            n_valid = t
+            x = jnp.pad(x, ((0, 0), (0, target - t), (0, 0)))
+
         block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         for i in range(self.depth):
             x = block_cls(self.num_heads, self.mlp_ratio, self.dtype,
-                          name=f"block_{i}")(x)
+                          self.fused_attn, n_valid, name=f"block_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if n_valid:
+            x = x[:, :n_valid]
         return x  # (B, 1+N, D)
 
 

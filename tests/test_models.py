@@ -124,6 +124,35 @@ def test_backbone_feature_shapes():
     assert t.shape == (1, 197, 192)
 
 
+def test_vit_fused_attention_equivalence():
+    """FusedAttention (fused-QKV matmul) must equal flax's
+    MultiHeadDotProductAttention given the SAME parameter tree, and the
+    seq_align token padding (197 → 200, pad keys masked) must not change
+    the output."""
+    import jax
+    import jax.numpy as jnp
+
+    from neighbour_feature_pooling_tpu.models.backbones.vit import ViT
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 96, 96, 3)).astype(np.float32))
+    flaxattn = ViT(fused_attn=False)
+    fused = ViT(fused_attn=True, seq_align=0)
+    aligned = ViT(fused_attn=True, seq_align=8)
+    v = flaxattn.init({"params": jax.random.PRNGKey(0)}, x[:1])
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(
+                fused.init({"params": jax.random.PRNGKey(0)}, x[:1])))
+    y0 = flaxattn.apply(v, x)
+    y1 = fused.apply(v, x)
+    y2 = aligned.apply(v, x)
+    assert y0.shape == y1.shape == y2.shape == (2, 37, 192)  # 6²+1 tokens
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y0),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_stem_s2d_equivalence():
     """The space-to-depth stem (stem_s2d=True) is the same arithmetic as
     the direct 7×7/s2 conv: identical parameter tree, matching outputs and
