@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace of the first N train "
                         "steps into {log_dir}/profile")
+    p.add_argument("--device_augment", action="store_true",
+                   help="run TRAIN-batch crop/resize/flip/normalize on the "
+                        "accelerator (host only plans crops); removes the "
+                        "CPU input-pipeline ceiling on few-core hosts. Eval "
+                        "batches keep the host pipeline (exact parity)")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per host dispatch (lax.scan); >1 "
                         "amortizes dispatch overhead (~10%% through the TPU "
@@ -280,6 +285,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "stem_s2d": args.stem_s2d,
         "profile_steps": args.profile_steps,
         "steps_per_dispatch": args.steps_per_dispatch,
+        "device_augment": args.device_augment,
     }
 
     results = []

@@ -70,16 +70,26 @@ DATASET_NUM_CLASSES = {
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp", ".gif")
 
 
-def _pad_batch(images: np.ndarray, labels: np.ndarray, batch_size: int) -> Batch:
+def _pad_batch(images, labels: np.ndarray, batch_size: int) -> Batch:
+    """Zero-pad to ``batch_size`` rows with a masking weight channel.
+    ``images`` may be a numpy array (host pipelines) or a jax array
+    (device-augment path) — padding stays in the array's own namespace so
+    device batches are never pulled back to the host."""
     n = images.shape[0]
     weight = np.ones((batch_size,), np.float32)
     if n < batch_size:
         pad = batch_size - n
-        images = np.concatenate(
-            [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        if isinstance(images, np.ndarray):
+            xp = np
+        else:
+            import jax.numpy as xp  # noqa: PLC0415
+        images = xp.concatenate(
+            [images, xp.zeros((pad,) + images.shape[1:], images.dtype)])
         labels = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
         weight[n:] = 0.0
-    return {"image": images.astype(np.float32),
+    if isinstance(images, np.ndarray):
+        images = images.astype(np.float32)
+    return {"image": images,
             "label": labels.astype(np.int32), "weight": weight}
 
 
@@ -177,6 +187,13 @@ class ArrayDataModule(DataModule):
     #: False = always the python/PIL path (the parity oracle).
     use_native: object = "auto"
 
+    #: True = run TRAIN-batch crop+resize+flip+normalize on the accelerator
+    #: (``data/device_augment.py``): the host only plans crops, removing the
+    #: CPU ceiling on few-core hosts. Opt-in; needs uniform decoded shapes
+    #: in each batch (falls back to the host path otherwise). Eval batches
+    #: always use the host pipeline (bit-exact reference parity).
+    use_device_augment: bool = False
+
     def _native_enabled(self) -> bool:
         if self.use_native is False:
             return False
@@ -230,6 +247,9 @@ class ArrayDataModule(DataModule):
                 c = self.num_input_channels
                 imgs = np.zeros((0, self.transform.input_size,
                                  self.transform.input_size, c), np.float32)
+            elif (shuffle and self.use_device_augment
+                  and len({im.shape for im in raw}) == 1):
+                imgs = self._augment_device(raw, img_rngs)
             elif native_ok:
                 imgs = self._augment_native(raw, shuffle, img_rngs)
             else:
@@ -263,6 +283,26 @@ class ArrayDataModule(DataModule):
             raw, np.asarray(crops, np.int32), np.asarray(flips, np.int32),
             (cfg.input_size, cfg.input_size), mean, std,
             num_threads=max(self.num_workers, 1) if self.num_workers else 0)
+
+    def _augment_device(self, raw, img_rngs):
+        """Plan crops on host, run the pixel work on the accelerator
+        (``device_augment.augment_batch_device``). Returns a device array;
+        downstream ``jnp.asarray``/``device_put`` are no-ops."""
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        from .device_augment import (augment_batch_device,  # noqa: PLC0415
+                                     normalization_constants)
+        from .transforms import plan_train  # noqa: PLC0415
+
+        cfg = self.transform
+        plans = [plan_train(img.shape[:2], cfg, r)
+                 for img, r in zip(raw, img_rngs)]
+        crops = np.asarray([p[0] for p in plans], np.int32)
+        flips = np.asarray([p[1] for p in plans], np.int32)
+        mean, std = normalization_constants(cfg, raw[0].shape[2])
+        return augment_batch_device(jnp.asarray(np.stack(raw)),
+                                    jnp.asarray(crops), jnp.asarray(flips),
+                                    cfg.input_size, mean, std)
 
     def train_batches(self, epoch: int = 0) -> Iterator[Batch]:
         return self._iter("train", True, epoch)
@@ -727,6 +767,12 @@ class FashionMNISTDataModule(ArrayDataModule):
 
 def get_datamodule(dataset: str, config: Dict) -> DataModule:
     """Dataset registry mirroring ``demo.py:87-146`` (+ synthetic)."""
+    dm = _build_datamodule(dataset, config)
+    dm.use_device_augment = bool(config.get("device_augment", False))
+    return dm
+
+
+def _build_datamodule(dataset: str, config: Dict) -> DataModule:
     common = dict(
         resize_size=config.get("resize_size", 256),
         input_size=config.get("input_size", 224),

@@ -159,6 +159,91 @@ def test_native_vs_python_pipeline_close():
     assert np.abs(nat - py).mean() < 0.05
 
 
+class TestDeviceAugment:
+    """Device-side train augmentation (data/device_augment.py)."""
+
+    def test_identity_crop_is_exact_normalize(self):
+        import jax.numpy as jnp
+
+        from neighbour_feature_pooling_tpu.data.device_augment import (
+            augment_batch_device)
+
+        rng = np.random.default_rng(0)
+        raw = rng.random((2, 16, 16, 3)).astype(np.float32)
+        crops = np.asarray([[0, 0, 16, 16]] * 2, np.int32)
+        out = augment_batch_device(
+            jnp.asarray(raw), jnp.asarray(crops),
+            jnp.asarray([0, 1], np.int32), 16,
+            jnp.asarray([0.5, 0.5, 0.5]), jnp.asarray([0.5, 0.5, 0.5]))
+        want = (raw - 0.5) / 0.5
+        np.testing.assert_allclose(np.asarray(out[0]), want[0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[1]), want[1, :, ::-1],
+                                   atol=1e-6)
+
+    def test_tracks_host_pipeline(self):
+        """Same crop plan through device kernel vs the native/python
+        sampling grid — plain-bilinear vs antialiased differ only slightly
+        on smooth images."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from neighbour_feature_pooling_tpu.data.device_augment import (
+            augment_batch_device)
+        from neighbour_feature_pooling_tpu.data.transforms import plan_eval
+
+        cfg = TransformConfig(resize_size=32, input_size=28,
+                              mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+        rng = np.random.default_rng(0)
+        base = rng.random((8, 8, 3)).astype(np.float32)
+        img = np.stack([np.asarray(Image.fromarray(base[:, :, c], mode="F")
+                                   .resize((64, 64), Image.BILINEAR))
+                        for c in range(3)], axis=2)
+        py = eval_transform(img, cfg)
+        box = plan_eval(img.shape[:2], cfg)
+        dev = augment_batch_device(
+            jnp.asarray(img[None]), jnp.asarray([box], np.int32),
+            jnp.asarray([0], np.int32), 28,
+            jnp.asarray(cfg.mean), jnp.asarray(cfg.std))[0]
+        assert np.abs(np.asarray(dev) - py).mean() < 0.05
+
+    def test_datamodule_device_path_trains(self, tmp_path):
+        """use_device_augment=True: train batches come back as device
+        arrays, are deterministic per seed, and a smoke train converges."""
+        import jax
+
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.train import (Trainer,
+                                                         TrainerConfig)
+
+        dm = SyntheticDataModule(num_classes=3, num_samples=48,
+                                 image_size=24, batch_size=16, seed=7)
+        dm.use_device_augment = True
+        dm.prepare_data(); dm.setup("fit")
+        b1 = next(iter(dm.train_batches(0)))
+        b2 = next(iter(dm.train_batches(0)))
+        assert isinstance(b1["image"], jax.Array)
+        assert b1["image"].shape == (16, 24, 24, 3)
+        np.testing.assert_array_equal(np.asarray(b1["image"]),
+                                      np.asarray(b2["image"]))
+        b3 = next(iter(dm.train_batches(1)))  # new epoch, new crops
+        assert float(np.abs(np.asarray(b1["image"])
+                            - np.asarray(b3["image"])).max()) > 0
+        # eval stays a host numpy batch (exact reference pipeline)
+        ev = next(iter(dm.val_batches()))
+        assert isinstance(ev["image"], np.ndarray)
+
+        model = get_model("resnet18", "gap_only", 3)
+        cfg = TrainerConfig(learning_rate=3e-4, max_epochs=2, patience=10,
+                            log_dir=str(tmp_path / "logs"),
+                            ckpt_dir=str(tmp_path / "ckpt"),
+                            freeze_nfp=False, tensorboard=False)
+        trainer = Trainer(model, 3, cfg)
+        result = trainer.fit(dm)
+        assert (result["history"][-1]["train"]["loss"]
+                < result["history"][0]["train"]["loss"] + 1.0)
+        trainer.close()
+
+
 def test_prefetch_preserves_order_and_errors():
     from neighbour_feature_pooling_tpu.data import prefetch
 
