@@ -59,9 +59,14 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         return False
     if num_processes == 1:
         return False
+    # generous heartbeat: on oversubscribed hosts (e.g. the 1-core CI box
+    # running simulated multi-host workers alongside a test suite) a worker
+    # can stall in a multi-minute compile; the default 100 s heartbeat then
+    # kills the cohort with a CoordinationServiceError
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               heartbeat_timeout_seconds=600)
     return True
 
 
