@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Serving-path benchmark: ``serve.Predictor`` latency/throughput on TPU.
+
+Measures the real request path (``predict`` with preprocessed inputs: pad →
+device_put → compiled forward → fetch probabilities, one host sync per
+call) and the pure device rate (chained forwards, one fetch). Through the
+axon relay each call pays a ~20 ms round trip that a colocated server would
+not; both numbers are recorded. Appends one JSON line per config to
+``--out``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_type", default="resnet18")
+    ap.add_argument("--variant", default="texture_nfp")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(REPO, "bench_serve.jsonl"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neighbour_feature_pooling_tpu.serve import Predictor
+    from neighbour_feature_pooling_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    kwargs = {"dtype": jnp.bfloat16} if args.bf16 else {}
+    pred = Predictor(args.model_type, args.variant, 21,
+                     batch_size=args.batch, input_size=args.img,
+                     model_kwargs=kwargs)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(
+        (args.batch, args.img, args.img, 3)).astype(np.float32)
+
+    # request-path latency: one predict() call = one host sync
+    for _ in range(args.warmup):
+        pred.predict(x, preprocessed=True)
+    lat = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = pred.predict(x, preprocessed=True)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(1e3 * t for t in lat)
+    p50 = lat_ms[len(lat_ms) // 2]
+    p95 = lat_ms[int(len(lat_ms) * 0.95)]
+
+    # pure device rate: chained compiled forwards, one 4-byte fetch
+    xd = jnp.asarray(x)
+    f = pred._forward
+    s = jnp.zeros(())
+    chain = jax.jit(lambda v, xx, ss: ss + jnp.sum(f(v, xx + ss * 0)))
+    for _ in range(args.warmup):
+        s = chain(pred._variables, xd, s)
+    float(s)
+    s = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        s = chain(pred._variables, xd, s)
+    float(s)
+    dev_rate = args.batch * args.iters / (time.perf_counter() - t0)
+
+    rec = {
+        "model": f"{args.model_type}+{args.variant}",
+        "batch": args.batch, "img": args.img,
+        "dtype": "bf16" if args.bf16 else "fp32",
+        "predict_p50_ms": round(p50, 2),
+        "predict_p95_ms": round(p95, 2),
+        "predict_img_per_s": round(args.batch / (p50 / 1e3), 1),
+        "device_img_per_s": round(dev_rate, 1),
+        "backend": jax.default_backend(),
+        "probs_shape": list(out["probabilities"].shape),
+    }
+    print(json.dumps(rec))
+    with open(args.out, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
