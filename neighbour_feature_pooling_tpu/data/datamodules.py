@@ -247,8 +247,11 @@ class ArrayDataModule(DataModule):
                 c = self.num_input_channels
                 imgs = np.zeros((0, self.transform.input_size,
                                  self.transform.input_size, c), np.float32)
-            elif (shuffle and self.use_device_augment
-                  and len({im.shape for im in raw}) == 1):
+            elif (shuffle and self.use_device_augment and pc == 1
+                  and self._device_shape_ok(raw)):
+                # pc == 1: the multi-process global-batch assembly needs
+                # host numpy rows, which would pull the augmented batch
+                # back off the device — host/native path is faster there
                 imgs = self._augment_device(raw, img_rngs)
             elif native_ok:
                 imgs = self._augment_native(raw, shuffle, img_rngs)
@@ -264,6 +267,8 @@ class ArrayDataModule(DataModule):
         from .. import native  # noqa: PLC0415
         from .transforms import plan_eval, plan_train  # noqa: PLC0415
 
+        from .device_augment import normalization_constants  # noqa: PLC0415
+
         cfg = self.transform
         crops, flips = [], []
         for img, r in zip(raw, img_rngs):
@@ -273,16 +278,27 @@ class ArrayDataModule(DataModule):
                 box, flip = plan_eval(img.shape[:2], cfg), 0
             crops.append(box)
             flips.append(flip)
-        c = raw[0].shape[2]
-        mean = np.asarray(cfg.mean, np.float32)
-        std = np.asarray(cfg.std, np.float32)
-        if mean.size != c:
-            mean = np.full((c,), float(mean.mean()), np.float32)
-            std = np.full((c,), float(std.mean()), np.float32)
+        mean, std = normalization_constants(cfg, raw[0].shape[2])
         return native.augment_batch(
             raw, np.asarray(crops, np.int32), np.asarray(flips, np.int32),
             (cfg.input_size, cfg.input_size), mean, std,
             num_threads=max(self.num_workers, 1) if self.num_workers else 0)
+
+    def _device_shape_ok(self, raw) -> bool:
+        """Device path only for batches matching ONE pinned source shape:
+        each distinct (B, H, W, C) signature costs a full XLA compile
+        (20 s–6 min through the TPU relay), so mixed-resolution folder
+        datasets route their off-shape batches to the host path instead of
+        recompiling mid-epoch."""
+        shapes = {im.shape for im in raw}
+        if len(shapes) != 1:
+            return False
+        shape = next(iter(shapes))
+        pinned = getattr(self, "_device_aug_shape", None)
+        if pinned is None:
+            self._device_aug_shape = shape
+            return True
+        return shape == pinned
 
     def _augment_device(self, raw, img_rngs):
         """Plan crops on host, run the pixel work on the accelerator
@@ -302,7 +318,8 @@ class ArrayDataModule(DataModule):
         mean, std = normalization_constants(cfg, raw[0].shape[2])
         return augment_batch_device(jnp.asarray(np.stack(raw)),
                                     jnp.asarray(crops), jnp.asarray(flips),
-                                    cfg.input_size, mean, std)
+                                    cfg.input_size, jnp.asarray(mean),
+                                    jnp.asarray(std))
 
     def train_batches(self, epoch: int = 0) -> Iterator[Batch]:
         return self._iter("train", True, epoch)

@@ -69,11 +69,12 @@ def augment_batch_device(raw: jax.Array, crops: jax.Array, flips: jax.Array,
     return (out - mean) / std
 
 
-def normalization_constants(cfg, channels: int) -> Tuple[jnp.ndarray,
-                                                         jnp.ndarray]:
+def normalization_constants(cfg, channels: int) -> Tuple["np.ndarray",
+                                                         "np.ndarray"]:
     """Per-channel mean/std broadcast like the host pipeline
     (``transforms._normalize``: single stat spread over all bands when the
-    config does not match the channel count, e.g. 13-band EuroSAT)."""
+    config does not match the channel count, e.g. 13-band EuroSAT). The
+    single shared implementation for the native and device pipelines."""
     import numpy as np
 
     mean = np.asarray(cfg.mean, np.float32)
@@ -81,4 +82,4 @@ def normalization_constants(cfg, channels: int) -> Tuple[jnp.ndarray,
     if mean.size != channels:
         mean = np.full((channels,), float(mean.mean()), np.float32)
         std = np.full((channels,), float(std.mean()), np.float32)
-    return jnp.asarray(mean), jnp.asarray(std)
+    return mean, std

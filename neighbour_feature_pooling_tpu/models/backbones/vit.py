@@ -39,15 +39,29 @@ class MlpBlock(nn.Module):
 
 class _ProjParams(nn.Module):
     """Parameter holder replicating one flax DenseGeneral's tree
-    (``kernel``/``bias``) without its computation."""
+    (``kernel``/``bias``) without its computation.
+
+    Init matches DenseGeneral exactly: lecun_normal over the kernel
+    FLATTENED to (fan_in, fan_out) and reshaped — applying lecun_normal
+    directly to the 3-D (D, H, Dh) shape would compute fan_in = H·D and
+    start attention logits with num_heads× too little variance."""
 
     kernel_shape: tuple
     bias_shape: tuple
+    fan_in: int
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       self.kernel_shape)
+        base = nn.initializers.lecun_normal()
+        fan_out = 1
+        for s in self.kernel_shape:
+            fan_out *= s
+        fan_out //= self.fan_in
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            return base(key, (self.fan_in, fan_out), dtype).reshape(shape)
+
+        k = self.param("kernel", kernel_init, self.kernel_shape)
         b = self.param("bias", nn.initializers.zeros, self.bias_shape)
         return k, b
 
@@ -74,10 +88,10 @@ class FusedAttention(nn.Module):
         b, t, d = x.shape
         h = self.num_heads
         hd = d // h
-        wq, bq = _ProjParams((d, h, hd), (h, hd), name="query")()
-        wk, bk = _ProjParams((d, h, hd), (h, hd), name="key")()
-        wv, bv = _ProjParams((d, h, hd), (h, hd), name="value")()
-        wo, bo = _ProjParams((h, hd, d), (d,), name="out")()
+        wq, bq = _ProjParams((d, h, hd), (h, hd), d, name="query")()
+        wk, bk = _ProjParams((d, h, hd), (h, hd), d, name="key")()
+        wv, bv = _ProjParams((d, h, hd), (h, hd), d, name="value")()
+        wo, bo = _ProjParams((h, hd, d), (d,), h * hd, name="out")()
 
         wqkv = jnp.concatenate(
             [w.reshape(d, d) for w in (wq, wk, wv)], axis=1)

@@ -145,17 +145,25 @@ def _nfp_kernel(x_ref, o_ref, *, radius: int, measure: str, similarity: bool,
 def _nfp_kernel_chw(x_ref, o_ref, *, radius: int, measure: str,
                     similarity: bool, p: float, eps: float, q_scs: float,
                     dilation: int, h_out: int, w_out: int, fuse_gap: bool,
-                    strip: int, n_chan: int):
+                    strip: int, n_chan: int, vec_c: bool):
     """Large-map kernel body, channels-first layout (bb, C, Hp, Wp).
 
     The VPU's vector registers are (8 sublanes × 128 lanes) with the MINOR
     axis on the lanes. The NHWC bodies put channels minor — at the
     multi-stage taps (112×112×16, 56×56×24, …) that wastes 7/8 of the lanes.
     Here W sits on the lanes (112 ≈ 128) and H-strip rows on the sublanes;
-    channels become a ``fori_loop`` that ACCUMULATES each measure's
-    per-channel sums (``measures.SEPARABLE``), so no cross-lane reduction
-    exists at all. Input blocks are DMA'd HBM→VMEM by Pallas's grid
-    pipeline (double-buffered across programs).
+    the channel reduction uses each measure's accumulable form
+    (``measures.SEPARABLE``), so no cross-lane reduction exists at all.
+    Input blocks are DMA'd HBM→VMEM by Pallas's grid pipeline
+    (double-buffered across programs).
+
+    Two channel-sum strategies, selected by ``vec_c``:
+    * False — per-channel ``fori_loop`` accumulating (bb, 1, strip, W')
+      terms: minimal VMEM, the measured winner at small C;
+    * True — whole-C (bb, C, strip, W') slices reduced with one
+      non-minor-axis ``jnp.sum``: fewer, larger VPU ops, the measured
+      winner for fused-GAP at C≈64 (costs (n_acc+2) whole-C strip
+      temporaries, so the caller picks a smaller strip).
     """
     m = get_measure(measure)
     assert not m.needs_softmax_over_neighbors  # intercepted by nfp_pallas
@@ -169,76 +177,30 @@ def _nfp_kernel_chw(x_ref, o_ref, *, radius: int, measure: str,
 
     def strip_body(si, gap_sums):
         h0 = si * strip
-        parts = []
-        for ni, (i, j) in enumerate(offsets):  # static unroll, k²−1
-            wj = j * dilation
-
-            def chan_body(ci, accs, _i=i, _wj=wj, _h0=h0):
-                csl = x_ref[:, pl.ds(ci, 1), pl.ds(r + _h0, strip),
+        if vec_c:
+            csl_all = x_ref[:, :, pl.ds(r + h0, strip),
                             r:r + w_out].astype(jnp.float32)
-                nsl = x_ref[:, pl.ds(ci, 1),
-                            pl.ds(_i * dilation + _h0, strip),
-                            _wj:_wj + w_out].astype(jnp.float32)
-                terms = sep.map_terms(csl, nsl, cfg)
-                return tuple(a + t for a, t in zip(accs, terms))
-
-            accs0 = tuple(jnp.zeros((bb, 1, strip, w_out), jnp.float32)
-                          for _ in range(sep.n_acc))
-            accs = jax.lax.fori_loop(0, n_chan, chan_body, accs0)
-            val = sep.finalize_sums(accs, n_chan, cfg)  # (bb,1,strip,w')
-            if fuse_gap:
-                s3 = jnp.sum(val, axis=3, keepdims=True)
-                s2 = jnp.sum(s3, axis=2, keepdims=True)  # (bb,1,1,1)
-                parts.append(s2[:, 0])                   # (bb,1,1)
-            else:
-                val = m.finalize(val, similarity)
-                o_ref[:, ni, pl.ds(h0, strip), :] = val[:, 0].astype(
-                    o_ref.dtype)
-        if fuse_gap:
-            return gap_sums + jnp.concatenate(parts, axis=-1)  # (bb,1,N)
-        return gap_sums
-
-    sums0 = jnp.zeros((bb, 1, n), jnp.float32)
-    sums = jax.lax.fori_loop(0, n_strips, strip_body, sums0)
-    if fuse_gap:
-        acc = sums[:, 0, :] / float(h_out * w_out)  # (bb, N)
-        o_ref[:, 0, :] = m.finalize(acc, similarity).astype(o_ref.dtype)
-
-
-def _nfp_kernel_chw_vec(x_ref, o_ref, *, radius: int, measure: str,
-                        similarity: bool, p: float, eps: float, q_scs: float,
-                        dilation: int, h_out: int, w_out: int,
-                        fuse_gap: bool, strip: int, n_chan: int):
-    """Channels-first body, whole-C vector slices (no channel loop).
-
-    Same layout as ``_nfp_kernel_chw`` (W on the VPU lanes), but each
-    neighbor comparison computes its per-channel terms on one
-    (bb, C, strip, W') slice and reduces the C axis with a single
-    non-minor-axis ``jnp.sum`` — fewer, larger VPU ops instead of an
-    n_chan-iteration ``fori_loop``. Costs (n_acc+2) whole-C strip
-    temporaries of VMEM, so the caller picks a smaller strip.
-    """
-    m = get_measure(measure)
-    assert not m.needs_softmax_over_neighbors  # intercepted by nfp_pallas
-    sep = get_separable(measure)
-    cfg = MeasureConfig(eps=eps, p=p, q_scs=q_scs)
-    r = radius * dilation
-    offsets = neighbor_offsets(radius)
-    n = len(offsets)
-    bb = x_ref.shape[0]
-    n_strips = h_out // strip
-
-    def strip_body(si, gap_sums):
-        h0 = si * strip
-        csl = x_ref[:, :, pl.ds(r + h0, strip), r:r + w_out].astype(
-            jnp.float32)
         parts = []
         for ni, (i, j) in enumerate(offsets):  # static unroll, k²−1
             wj = j * dilation
-            nsl = x_ref[:, :, pl.ds(i * dilation + h0, strip),
-                        wj:wj + w_out].astype(jnp.float32)
-            terms = sep.map_terms(csl, nsl, cfg)
-            sums = tuple(jnp.sum(t, axis=1, keepdims=True) for t in terms)
+            if vec_c:
+                nsl = x_ref[:, :, pl.ds(i * dilation + h0, strip),
+                            wj:wj + w_out].astype(jnp.float32)
+                sums = tuple(jnp.sum(t, axis=1, keepdims=True)
+                             for t in sep.map_terms(csl_all, nsl, cfg))
+            else:
+                def chan_body(ci, accs, _i=i, _wj=wj, _h0=h0):
+                    csl = x_ref[:, pl.ds(ci, 1), pl.ds(r + _h0, strip),
+                                r:r + w_out].astype(jnp.float32)
+                    nsl = x_ref[:, pl.ds(ci, 1),
+                                pl.ds(_i * dilation + _h0, strip),
+                                _wj:_wj + w_out].astype(jnp.float32)
+                    terms = sep.map_terms(csl, nsl, cfg)
+                    return tuple(a + t for a, t in zip(accs, terms))
+
+                accs0 = tuple(jnp.zeros((bb, 1, strip, w_out), jnp.float32)
+                              for _ in range(sep.n_acc))
+                sums = jax.lax.fori_loop(0, n_chan, chan_body, accs0)
             val = sep.finalize_sums(sums, n_chan, cfg)  # (bb,1,strip,w')
             if fuse_gap:
                 s3 = jnp.sum(val, axis=3, keepdims=True)
@@ -368,7 +330,7 @@ def nfp_pallas(
         # large maps, channel-accumulable measure: channels-first layout
         # with W on the VPU lanes. Two bodies (measured policy in the
         # dispatch notes above ``nfp``): per-channel fori accumulation
-        # (_nfp_kernel_chw) or whole-C vector slices (_nfp_kernel_chw_vec).
+        # fori accumulation or whole-C vector slices (_nfp_kernel_chw vec_c).
         sep = get_separable(measure)
         if chw_body not in ("auto", "fori", "vec"):
             raise ValueError(f"unknown chw_body {chw_body!r}")
@@ -385,12 +347,11 @@ def nfp_pallas(
             if h_out % cand == 0:
                 strip_chw = cand
                 break
-        body = _nfp_kernel_chw_vec if use_vec else _nfp_kernel_chw
         kernel = functools.partial(
-            body, radius=radius, measure=measure,
+            _nfp_kernel_chw, radius=radius, measure=measure,
             similarity=similarity, p=p, eps=eps, q_scs=q_scs,
             dilation=dilation, h_out=h_out, w_out=w_out, fuse_gap=fuse_gap,
-            strip=strip_chw, n_chan=c,
+            strip=strip_chw, n_chan=c, vec_c=use_vec,
         )
         operand = jnp.transpose(xp, (0, 3, 1, 2))  # (B, C, Hp, Wp)
         in_spec = pl.BlockSpec((bb, c, hp, wp), lambda i: (i, 0, 0, 0),
@@ -470,7 +431,7 @@ def nfp(
 #:   channels-first fori body (W on the VPU lanes, per-channel
 #:   accumulation) — at worst ≈ the XLA oracle, and up to several× faster
 #:   on oracle-unfriendly days (the oracle's fusion quality varies);
-#: * C 49–64 fused-GAP: the whole-C vector body (``_nfp_kernel_chw_vec``),
+#: * C 49–64 fused-GAP: the whole-C vector body (``_nfp_kernel_chw`` with ``vec_c``),
 #:   the one measured C=64 win (1.22× within-process); C ≥ 64 full maps
 #:   stay with the oracle.
 _PALLAS_MAX_POSITIONS = 256

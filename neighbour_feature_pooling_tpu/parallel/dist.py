@@ -114,7 +114,10 @@ def global_batch_from_local(local_batch: Dict[str, np.ndarray], mesh,
     """
     sharding = data_sharding(mesh, axis_name)
     if jax.process_count() == 1:
-        return {k: jax.device_put(np.asarray(v), sharding)
+        # device-resident values (the device-augment path) go straight to a
+        # sharded device_put — np.asarray would pull them back to the host
+        return {k: jax.device_put(v if isinstance(v, jax.Array)
+                                  else np.asarray(v), sharding)
                 for k, v in local_batch.items()}
     return {
         k: jax.make_array_from_process_local_data(sharding, np.asarray(v))

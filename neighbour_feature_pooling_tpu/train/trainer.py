@@ -263,10 +263,27 @@ class Trainer:
                     pending.append(batch)
                     if len(pending) < self._k:
                         continue
+                    # profiling covers whole dispatches here (each is K
+                    # optimizer steps); the first dispatch of the run is
+                    # skipped as the compile step, like the single path
+                    if (prof_left > 0 and not prof_active
+                            and (epoch > start_epoch or nb > 0)):
+                        jax.profiler.start_trace(
+                            os.path.join(cfg.log_dir, "profile"))
+                        prof_active = True
                     self.state, losses, cms = self._multi_step(
                         self.state, self._stack_batches(pending),
                         dropout_rng, frozen=frozen)
                     pending = []
+                    if prof_active:
+                        prof_left -= self._k
+                        if prof_left <= 0:
+                            jax.block_until_ready(losses)
+                            jax.profiler.stop_trace()
+                            prof_active = False
+                            self.logger.info(
+                                f"profiler trace -> "
+                                f"{os.path.join(cfg.log_dir, 'profile')}")
                     cm = cm + jnp.sum(cms, axis=0)
                     loss_sum = loss_sum + jnp.sum(losses)
                     if log_every:

@@ -151,6 +151,12 @@ def test_vit_fused_attention_equivalence():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y0),
                                atol=1e-5, rtol=1e-5)
+    # from-scratch init must match flax DenseGeneral's FLATTENED-fan
+    # lecun_normal (plain 3-D lecun_normal would be num_heads× too small)
+    vf = fused.init({"params": jax.random.PRNGKey(1)}, x[:1])
+    for mod in (v, vf):
+        k = np.asarray(mod["params"]["block_0"]["attn"]["query"]["kernel"])
+        assert abs(k.std() / (1.0 / np.sqrt(192)) - 1.0) < 0.12, k.std()
 
 
 def test_stem_s2d_equivalence():

@@ -370,8 +370,10 @@ def test_pretrained_backbone_injection():
                            pretrained_backbone={"params": incomplete})
 
 
-def test_profile_steps_trace(tmp_path):
-    """profile_steps=N captures a jax.profiler trace of early train steps."""
+@pytest.mark.parametrize("k", [1, 2])
+def test_profile_steps_trace(tmp_path, k):
+    """profile_steps=N captures a jax.profiler trace of early train steps —
+    in both the single-step loop and the steps_per_dispatch>1 scan path."""
     import glob
 
     dm = SyntheticDataModule(num_classes=2, num_samples=48, image_size=16,
@@ -380,7 +382,8 @@ def test_profile_steps_trace(tmp_path):
     cfg = TrainerConfig(learning_rate=1e-3, max_epochs=2, patience=10,
                         log_dir=str(tmp_path / "logs"),
                         ckpt_dir=str(tmp_path / "ckpt"),
-                        freeze_nfp=False, profile_steps=2, tensorboard=False)
+                        freeze_nfp=False, profile_steps=2, tensorboard=False,
+                        steps_per_dispatch=k)
     Trainer(model, 2, cfg).fit(dm)
     # a plugins/profile/<ts>/ dir with a .trace or .pb appears
     found = glob.glob(str(tmp_path / "logs" / "profile" / "**" / "*"),
