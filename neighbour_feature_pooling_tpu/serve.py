@@ -1,4 +1,4 @@
-"""Serving: a compiled batched predictor.
+"""Serving: a compiled batched predictor + AOT export.
 
 The reference stops at ``trainer.test`` (``/root/reference/demo.py:427``);
 production use of a texture classifier needs a stable inference surface.
@@ -7,11 +7,18 @@ a fixed batch size (requests are padded, so there is exactly one compilation
 per predictor), host-side preprocessing through the same eval transform as
 training (native C++ augment kernel when available), softmax probabilities
 and argmax labels out.
+
+``export_predictor``/``load_exported`` freeze the forward into a
+``jax.export`` StableHLO artifact plus a weights file: the serving side
+deserializes and runs it WITHOUT this package's model-building code (or
+flax) — the TPU-native analog of TorchScript/SavedModel deployment.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -22,7 +29,8 @@ from .data.transforms import TransformConfig, eval_transform
 from .models import get_model
 from .train.checkpoint import restore_for_inference
 
-__all__ = ["Predictor"]
+__all__ = ["Predictor", "export_predictor", "load_exported",
+           "ExportedPredictor"]
 
 
 @dataclasses.dataclass
@@ -98,3 +106,122 @@ class Predictor:
             probs_out.append(probs[: self.batch_size - pad])
         probs = np.concatenate(probs_out)
         return {"probabilities": probs, "label": probs.argmax(-1)}
+
+
+# ---------------------------------------------------------------------------
+# AOT export (jax.export / StableHLO)
+# ---------------------------------------------------------------------------
+
+
+def export_predictor(predictor: Predictor, path: str,
+                     platforms: Optional[Sequence[str]] = None) -> None:
+    """Freeze a predictor into a self-contained serving artifact.
+
+    Writes ``forward.jaxexport`` (the jitted softmax-forward lowered to
+    StableHLO for the given platforms via ``jax.export``), ``variables.npz``
+    (flattened weights) and ``meta.json`` (shapes + transform config). The
+    artifact reloads with ``load_exported`` — no model code, no flax.
+
+    ``platforms`` defaults to the CURRENT backend only: the NFP op picks
+    its Pallas-vs-interpret lowering from the backend at trace time, so
+    export on the platform you will serve on (export on TPU → Mosaic
+    kernel baked in; a CPU-exported artifact would carry the interpreter).
+    """
+    from jax import export as jexport
+
+    if platforms is None:
+        platforms = [jax.default_backend()]
+
+    flat, treedef = jax.tree_util.tree_flatten(predictor._variables)
+
+    def forward_flat(leaves, images):
+        variables = jax.tree_util.tree_unflatten(treedef, leaves)
+        return predictor._forward(variables, images)
+
+    x_spec = jax.ShapeDtypeStruct(
+        (predictor.batch_size, predictor.input_size, predictor.input_size,
+         predictor.num_input_channels), jnp.float32)
+    leaf_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in flat]
+    exp = jexport.export(jax.jit(forward_flat),
+                         platforms=list(platforms))(leaf_specs, x_spec)
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "forward.jaxexport"), "wb") as f:
+        f.write(exp.serialize())
+    np.savez(os.path.join(path, "variables.npz"),
+             **{str(i): np.asarray(a) for i, a in enumerate(flat)})
+    cfg = predictor.transform
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({
+            "batch_size": predictor.batch_size,
+            "input_size": predictor.input_size,
+            "num_classes": predictor.num_classes,
+            "num_input_channels": predictor.num_input_channels,
+            "platforms": list(platforms),
+            "transform": {"resize_size": cfg.resize_size,
+                          "input_size": cfg.input_size,
+                          "mean": list(cfg.mean), "std": list(cfg.std)},
+        }, f, indent=1)
+
+
+@dataclasses.dataclass
+class ExportedPredictor:
+    """A deserialized serving artifact: same ``predict`` contract as
+    ``Predictor`` but backed by the frozen StableHLO function."""
+
+    forward: object          # jitted exported.call
+    leaves: List[np.ndarray]
+    meta: Dict
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.meta["batch_size"])
+
+    @property
+    def num_classes(self) -> int:
+        return int(self.meta["num_classes"])
+
+    def preprocess(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        t = self.meta["transform"]
+        cfg = TransformConfig(resize_size=t["resize_size"],
+                              input_size=t["input_size"],
+                              mean=tuple(t["mean"]), std=tuple(t["std"]))
+        return np.stack([eval_transform(np.asarray(im, np.float32), cfg)
+                         for im in images])
+
+    def predict(self, images: Sequence[np.ndarray],
+                preprocessed: bool = False) -> Dict[str, np.ndarray]:
+        if len(images) == 0:
+            return {"probabilities": np.zeros((0, self.num_classes),
+                                              np.float32),
+                    "label": np.zeros((0,), np.int64)}
+        x = (np.asarray(images, np.float32) if preprocessed
+             else self.preprocess(images))
+        bs = self.batch_size
+        probs_out = []
+        for start in range(0, x.shape[0], bs):
+            chunk = x[start: start + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
+            probs = np.asarray(self.forward(self.leaves,
+                                            jnp.asarray(chunk)))
+            probs_out.append(probs[: bs - pad])
+        probs = np.concatenate(probs_out)
+        return {"probabilities": probs, "label": probs.argmax(-1)}
+
+
+def load_exported(path: str) -> ExportedPredictor:
+    """Reload an ``export_predictor`` artifact. Needs only jax + numpy —
+    the model-building code (flax modules, registries) is not imported."""
+    from jax import export as jexport
+
+    with open(os.path.join(path, "forward.jaxexport"), "rb") as f:
+        exp = jexport.deserialize(f.read())
+    npz = np.load(os.path.join(path, "variables.npz"))
+    leaves = [npz[str(i)] for i in range(len(npz.files))]
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return ExportedPredictor(forward=jax.jit(exp.call), leaves=leaves,
+                             meta=meta)

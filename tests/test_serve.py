@@ -50,6 +50,31 @@ def test_predictor_from_checkpoint(tmp_path):
     np.testing.assert_allclose(out["probabilities"], want, atol=1e-5)
 
 
+def test_export_and_load_artifact(tmp_path):
+    """export_predictor → load_exported round trip: frozen StableHLO +
+    weights reproduce the live predictor bit-for-bit (labels) / ≤1e-5
+    (probabilities), including chunk/pad handling, without rebuilding the
+    model."""
+    from neighbour_feature_pooling_tpu.serve import (export_predictor,
+                                                     load_exported)
+
+    pred = Predictor("resnet18", "texture_nfp", 5, batch_size=4,
+                     input_size=32, resize_size=36)
+    rng = np.random.default_rng(0)
+    imgs = [rng.random((40, 40, 3)).astype(np.float32) for _ in range(6)]
+    want = pred.predict(imgs)
+
+    path = str(tmp_path / "artifact")
+    export_predictor(pred, path)
+    assert sorted(__import__("os").listdir(path)) == [
+        "forward.jaxexport", "meta.json", "variables.npz"]
+    ep = load_exported(path)
+    got = ep.predict(imgs)
+    np.testing.assert_allclose(got["probabilities"], want["probabilities"],
+                               atol=1e-5)
+    np.testing.assert_array_equal(got["label"], want["label"])
+
+
 def test_predict_empty():
     p = Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
                   input_size=16, resize_size=16)
