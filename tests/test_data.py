@@ -206,6 +206,44 @@ class TestDeviceAugment:
             jnp.asarray(cfg.mean), jnp.asarray(cfg.std))[0]
         assert np.abs(np.asarray(dev) - py).mean() < 0.05
 
+    def test_device_batch_shards_without_host_roundtrip(self):
+        """Single-process mesh: a device-augmented batch goes through
+        global_batch_from_local as a direct sharded device_put (jax.Array
+        branch), keeps its values, and lands sharded on the batch dim."""
+        import jax
+
+        from neighbour_feature_pooling_tpu.parallel import (
+            create_mesh, global_batch_from_local)
+
+        dm = SyntheticDataModule(num_classes=3, num_samples=64,
+                                 image_size=24, batch_size=16, seed=7)
+        dm.use_device_augment = True
+        dm.prepare_data(); dm.setup("fit")
+        batch = next(iter(dm.train_batches(0)))
+        assert isinstance(batch["image"], jax.Array)
+        before = np.asarray(batch["image"])
+        mesh = create_mesh()
+        out = global_batch_from_local(batch, mesh)
+        assert out["image"].sharding.spec[0] == "data"
+        np.testing.assert_array_equal(np.asarray(out["image"]), before)
+
+    def test_mixed_shapes_fall_back_to_host_path(self):
+        """The pinned-shape gate: a datamodule seeing a second decoded
+        shape routes those batches to the host pipeline instead of
+        recompiling the device kernel per shape."""
+        dm = SyntheticDataModule(num_classes=2, num_samples=32,
+                                 image_size=24, batch_size=16, seed=3)
+        dm.use_device_augment = True
+        assert dm._device_shape_ok([np.zeros((24, 24, 3))] * 4)
+        # same shape again: still device-eligible
+        assert dm._device_shape_ok([np.zeros((24, 24, 3))] * 4)
+        # a different shape: host path, pin unchanged
+        assert not dm._device_shape_ok([np.zeros((32, 32, 3))] * 4)
+        assert dm._device_shape_ok([np.zeros((24, 24, 3))] * 4)
+        # mixed within one batch: host path
+        assert not dm._device_shape_ok([np.zeros((24, 24, 3)),
+                                        np.zeros((32, 32, 3))])
+
     def test_datamodule_device_path_trains(self, tmp_path):
         """use_device_augment=True: train batches come back as device
         arrays, are deterministic per seed, and a smoke train converges."""
