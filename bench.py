@@ -79,13 +79,19 @@ def measure_tpu_train(batch=128, k=4, iters=8, warmup=2):
     model = get_model("resnet18", "texture_nfp", 21, dtype=jnp.bfloat16,
                       stem_s2d=True)
     rng = np.random.default_rng(0)
-    stacked = {
-        "image": jnp.asarray(rng.standard_normal((k, batch, IMG, IMG, 3))
+    # transfer K separate batches then stack ON DEVICE — exactly what the
+    # trainer's steps_per_dispatch path does, and it keeps each host->
+    # device transfer at one batch (~77 MB); a single stacked host array
+    # would push a >300 MB buffer through the relay (CLAUDE.md: >100 MB
+    # device buffers can hang it)
+    batches = [{
+        "image": jnp.asarray(rng.standard_normal((batch, IMG, IMG, 3))
                              .astype(np.float32)),
-        "label": jnp.asarray(rng.integers(0, 21, (k, batch)), jnp.int32),
-        "weight": jnp.ones((k, batch), jnp.float32),
-    }
-    first = jax.tree_util.tree_map(lambda x: x[0], stacked)
+        "label": jnp.asarray(rng.integers(0, 21, batch), jnp.int32),
+        "weight": jnp.ones((batch,), jnp.float32),
+    } for _ in range(k)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    first = batches[0]
     state = create_train_state(model, jax.random.PRNGKey(0), first, 1e-4)
     multi = make_multi_train_step(21, k)
     drng = jax.random.PRNGKey(1)

@@ -415,30 +415,36 @@ class FolderDataModule(ArrayDataModule):
         root inside an already-extracted archive (e.g. UCMerced unzips to
         ``UCMerced_LandUse/Images/``), including the default download
         destination, so a previously-downloaded tree is found offline and
-        never re-extracted. In multi-process runs only process 0 downloads;
-        the others wait at a barrier."""
+        never re-extracted. Multi-process: downloads per
+        ``is_download_leader`` (every host by default; rank 0 only on
+        shared filesystems), and EVERY process joins the barrier on EVERY
+        exit path — per-process early returns (data already present on one
+        host, a flaky network probe) must not strand peers at the
+        barrier."""
         from .download import (download_barrier, download_file,
                                extract_archive, find_class_root,
                                is_download_leader, network_available)
 
-        dest = self.data_dir or os.path.join("data", self.dataset_name)
-        if os.path.isdir(dest):
+        try:
+            dest = self.data_dir or os.path.join("data", self.dataset_name)
+            if os.path.isdir(dest):
+                root = find_class_root(dest)
+                if root:
+                    self.data_dir = root
+                    return
+            if not self.download_url or not network_available():
+                return  # offline: setup() raises with guidance
+            if is_download_leader():
+                archive = download_file(
+                    self.download_url,
+                    os.path.join(dest,
+                                 os.path.basename(self.download_url)))
+                extract_archive(archive, dest)
             root = find_class_root(dest)
             if root:
                 self.data_dir = root
-                return
-        if not self.download_url or not network_available():
-            return  # offline: setup() raises with guidance
-        if is_download_leader():
-            archive = download_file(self.download_url,
-                                    os.path.join(dest,
-                                                 os.path.basename(
-                                                     self.download_url)))
-            extract_archive(archive, dest)
-        download_barrier()
-        root = find_class_root(dest)
-        if root:
-            self.data_dir = root
+        finally:
+            download_barrier()
 
     def _scan(self) -> Tuple[List[str], List[int]]:
         if not self.data_dir or not os.path.isdir(self.data_dir):
@@ -492,8 +498,12 @@ class UCMercedDataModule(FolderDataModule):
     """UCMerced LandUse, 21 classes, 256px TIFFs (``demo.py:88-95``)."""
 
     dataset_name = "UCMerced"
-    download_url = \
-        "http://weegee.vision.ucmerced.edu/datasets/UCMerced_LandUse.zip"
+
+    @property
+    def download_url(self):
+        from .download import DATASET_URLS  # noqa: PLC0415
+
+        return DATASET_URLS["UCMerced"]
 
     def __init__(self, resize_size=256, input_size=224, data_dir=None,
                  batch_size=32, num_workers: int = 0, **kw):
@@ -653,16 +663,21 @@ class CIFAR10DataModule(ArrayDataModule):
                                extract_archive, is_download_leader,
                                network_available)
 
-        dest = self.data_dir or "data"
-        if os.path.isdir(os.path.join(dest, "cifar-10-batches-py")):
-            return
-        if not network_available():
-            return
-        if is_download_leader():
-            tar = download_file(DATASET_URLS["cifar10"],
-                                os.path.join(dest, "cifar-10-python.tar.gz"))
-            extract_archive(tar, dest)
-        download_barrier()
+        try:
+            dest = self.data_dir or "data"
+            if os.path.isdir(os.path.join(dest, "cifar-10-batches-py")):
+                return
+            if not network_available():
+                return
+            if is_download_leader():
+                tar = download_file(
+                    DATASET_URLS["cifar10"],
+                    os.path.join(dest, "cifar-10-python.tar.gz"))
+                extract_archive(tar, dest)
+        finally:
+            # every process joins on every exit path (a per-process early
+            # return must not strand peers at the barrier)
+            download_barrier()
 
     def setup(self, stage: Optional[str] = None) -> None:
         if self._splits:
@@ -734,19 +749,24 @@ class FashionMNISTDataModule(ArrayDataModule):
         from .download import (DATASET_URLS, download_barrier, download_file,
                                is_download_leader, network_available)
 
-        root = os.path.join(self.data_dir or "data", "FashionMNIST", "raw")
-        if all(os.path.exists(os.path.join(root, n))
-               or os.path.exists(os.path.join(root, n + ".gz"))
-               for n in self._IDX_FILES):
-            return
-        if not network_available():
-            return
-        if is_download_leader():
-            for name in self._IDX_FILES:
-                download_file(
-                    DATASET_URLS["fashionmnist_base"] + name + ".gz",
-                    os.path.join(root, name + ".gz"))
-        download_barrier()
+        try:
+            root = os.path.join(self.data_dir or "data", "FashionMNIST",
+                                "raw")
+            if all(os.path.exists(os.path.join(root, n))
+                   or os.path.exists(os.path.join(root, n + ".gz"))
+                   for n in self._IDX_FILES):
+                return
+            if not network_available():
+                return
+            if is_download_leader():
+                for name in self._IDX_FILES:
+                    download_file(
+                        DATASET_URLS["fashionmnist_base"] + name + ".gz",
+                        os.path.join(root, name + ".gz"))
+        finally:
+            # every process joins on every exit path (a per-process early
+            # return must not strand peers at the barrier)
+            download_barrier()
 
     def setup(self, stage: Optional[str] = None) -> None:
         if self._splits:

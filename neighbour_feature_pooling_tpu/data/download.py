@@ -76,11 +76,24 @@ def network_available(timeout: float = 3.0, force_probe: bool = False) -> bool:
     return ok
 
 
+#: set to "1" when all processes share one filesystem (e.g. NFS-backed
+#: GPU cluster): then only global process 0 downloads and the rest wait.
+#: Default (unset) assumes TPU-pod topology — one process per host, each
+#: with its OWN local disk — where every process must download its copy.
+SHARED_FS_ENV = "NFP_TPU_SHARED_FS"
+
+
 def is_download_leader() -> bool:
-    """True when this process should perform downloads. In a multi-process
-    (multi-host) launch only process 0 downloads — N processes writing the
-    same ``.part`` file on a shared filesystem corrupt the archive (the
-    reference's Lightning likewise downloads on rank 0 only)."""
+    """True when this process should perform downloads.
+
+    Default: every process downloads — on a TPU pod each host has its own
+    local disk, so a global-rank-0-only download (the Lightning shared-fs
+    pattern) would leave every other host without data. Set
+    ``NFP_TPU_SHARED_FS=1`` on shared filesystems to restrict downloads to
+    process 0 (concurrent same-file writes are additionally kept safe by
+    per-process temp names in ``download_file``)."""
+    if os.environ.get(SHARED_FS_ENV, "") in ("", "0"):
+        return True
     try:
         import jax  # noqa: PLC0415
 
@@ -89,17 +102,32 @@ def is_download_leader() -> bool:
         return True
 
 
-def download_barrier() -> None:
+def download_barrier(timeout_ms: int = 1_200_000) -> None:
     """Block until every process reaches this point (no-op single-process):
-    non-leader processes must not proceed to ``setup()`` before the
-    leader finishes extracting."""
+    no process may proceed to ``setup()`` before all downloads finish.
+
+    Uses the coordination-service barrier, NOT a device collective:
+    processes arrive with multi-minute skew (one may be fetching a 2 GB
+    archive), and making the job's FIRST collective under that skew blows
+    Gloo's hardcoded ~30 s context-init window (see
+    ``__graft_entry__._mp_worker``). Falls back to a device barrier only
+    if the private client API disappears."""
     try:
         import jax  # noqa: PLC0415
 
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils  # noqa: PLC0415
+        if jax.process_count() <= 1:
+            return
+        try:
+            from jax._src import distributed  # noqa: PLC0415
 
-            multihost_utils.sync_global_devices("nfp_tpu_prepare_data")
+            distributed.global_state.client.wait_at_barrier(
+                "nfp_tpu_prepare_data", timeout_ms)
+            return
+        except Exception:
+            pass
+        from jax.experimental import multihost_utils  # noqa: PLC0415
+
+        multihost_utils.sync_global_devices("nfp_tpu_prepare_data")
     except ImportError:
         pass
 
@@ -123,7 +151,10 @@ def download_file(url: str, dest: str, md5: Optional[str] = None,
         if md5 is None or _md5(dest) == md5:
             return dest
         os.remove(dest)  # partial/corrupt leftover
-    tmp = dest + ".part"
+    # per-process temp name: concurrent downloaders on one filesystem
+    # (multi-process-per-host layouts) each write their own file; the
+    # os.replace below is atomic and last-writer-wins with verified bytes
+    tmp = f"{dest}.part{os.getpid()}"
     with urllib.request.urlopen(url, timeout=timeout) as r, \
             open(tmp, "wb") as f:
         shutil.copyfileobj(r, f)
@@ -140,6 +171,12 @@ def extract_archive(path: str, dest: str) -> None:
     os.makedirs(dest, exist_ok=True)
     if path.endswith(".zip"):
         with zipfile.ZipFile(path) as z:
+            # the tar branch gets this via filter="data"; zip needs manual
+            # member validation (several sources serve over plain http)
+            for info in z.infolist():
+                name = info.filename
+                if name.startswith(("/", "\\")) or ".." in name.split("/"):
+                    raise ValueError(f"unsafe zip member path: {name!r}")
             z.extractall(dest)
     elif path.endswith((".tar.gz", ".tgz", ".tar")):
         mode = "r:gz" if path.endswith(("gz",)) else "r"

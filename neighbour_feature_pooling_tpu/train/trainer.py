@@ -210,8 +210,13 @@ class Trainer:
         if self.state is None:
             total_steps = 0
             if cfg.scheduler == "cosine" and hasattr(datamodule, "split_size"):
-                bs = sample["image"].shape[0]
-                steps_per_epoch = -(-datamodule.split_size("train") // bs)
+                # sample batches are the LOCAL per-process rows of each
+                # global batch; split_size is global — scale by process
+                # count or multi-host cosine decay runs N× too slowly
+                global_bs = (sample["image"].shape[0]
+                             * jax.process_count())
+                steps_per_epoch = -(-datamodule.split_size("train")
+                                    // global_bs)
                 total_steps = steps_per_epoch * cfg.max_epochs
             self.init_state(sample, total_steps=total_steps)
 

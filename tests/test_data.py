@@ -372,6 +372,36 @@ def test_find_class_root(tmp_path):
     assert find_class_root(str(empty)) is None
 
 
+def test_zip_traversal_rejected(tmp_path):
+    """extract_archive must refuse zip members escaping the dest dir."""
+    import zipfile
+
+    from neighbour_feature_pooling_tpu.data.download import extract_archive
+
+    bad = tmp_path / "evil.zip"
+    with zipfile.ZipFile(bad, "w") as z:
+        z.writestr("../outside.txt", "x")
+    with pytest.raises(ValueError, match="unsafe zip member"):
+        extract_archive(str(bad), str(tmp_path / "out"))
+    ok = tmp_path / "ok.zip"
+    with zipfile.ZipFile(ok, "w") as z:
+        z.writestr("cls/a.txt", "x")
+    extract_archive(str(ok), str(tmp_path / "out"))
+    assert (tmp_path / "out" / "cls" / "a.txt").exists()
+
+
+def test_download_leader_topology(monkeypatch):
+    """Default (per-host disks): every process downloads; NFP_TPU_SHARED_FS
+    restricts downloads to global process 0."""
+    from neighbour_feature_pooling_tpu.data import download
+
+    monkeypatch.delenv(download.SHARED_FS_ENV, raising=False)
+    assert download.is_download_leader()
+    monkeypatch.setenv(download.SHARED_FS_ENV, "1")
+    # single process IS process 0 → still leader
+    assert download.is_download_leader()
+
+
 def test_download_file_md5_verification(tmp_path, monkeypatch):
     from neighbour_feature_pooling_tpu.data import download
 
