@@ -59,14 +59,17 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         return False
     if num_processes == 1:
         return False
-    # generous heartbeat: on oversubscribed hosts (e.g. the 1-core CI box
-    # running simulated multi-host workers alongside a test suite) a worker
-    # can stall in a multi-minute compile; the default 100 s heartbeat then
-    # kills the cohort with a CoordinationServiceError
+    # generous heartbeat + shutdown windows: on oversubscribed hosts (e.g.
+    # the 1-core CI box running simulated multi-host workers alongside a
+    # test suite) a worker can stall for minutes in a compile or even
+    # between its last step and interpreter exit; the default 100 s
+    # heartbeat / 300 s shutdown barrier then kill the cohort with
+    # CoordinationServiceError / "Shutdown barrier has failed"
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id,
-                               heartbeat_timeout_seconds=600)
+                               heartbeat_timeout_seconds=600,
+                               shutdown_timeout_seconds=1200)
     return True
 
 
