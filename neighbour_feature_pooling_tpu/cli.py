@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     # which silently upscales 32px CIFAR / 64px EuroSAT to 224.
     p.add_argument("--resize_size", type=int, default=None)
     p.add_argument("--input_size", type=int, default=None)
+    p.add_argument("--reference_sizes", action="store_true",
+                   help="force the reference's 256/224 resize/input sizes "
+                        "for EVERY dataset (demo.py:459-460) — one flag for "
+                        "like-for-like accuracy comparisons against the "
+                        "paper; explicit --resize_size/--input_size still "
+                        "win")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--min_delta", type=float, default=0.0001)
@@ -245,7 +251,13 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     num_classes = DATASET_NUM_CLASSES.get(args.dataset, 10)  # demo.py:494-503
 
-    default_sizes = DATASET_DEFAULT_SIZES.get(args.dataset, _FALLBACK_SIZES)
+    # --reference_sizes: the reference resizes every dataset to 256/224
+    # (demo.py:459-460); our per-dataset defaults are saner but silently
+    # change like-for-like accuracy comparisons — this flag restores the
+    # reference sizing in one switch (explicit flags still win)
+    default_sizes = (_FALLBACK_SIZES if args.reference_sizes
+                     else DATASET_DEFAULT_SIZES.get(args.dataset,
+                                                    _FALLBACK_SIZES))
     if args.resize_size is None:
         args.resize_size = default_sizes[0]
     if args.input_size is None:

@@ -73,6 +73,30 @@ def test_trainer_flags_reach_config(monkeypatch, capsys):
     assert captured["num_samples"] == 64
 
 
+def test_reference_sizes_flag(monkeypatch):
+    # --reference_sizes forces the reference's 256/224 for every dataset
+    # (demo.py:459-460); explicit size flags still win (round-2 VERDICT #7)
+    import neighbour_feature_pooling_tpu.cli as cli
+
+    captured = {}
+
+    def fake_run(seed, config):
+        captured.update(config)
+        return 1.0
+
+    monkeypatch.setattr(cli, "run_experiment", fake_run)
+    # default for cifar10 stays the sane 36/32
+    cli.main(["--dataset", "cifar10", "--seeds", "7"])
+    assert (captured["resize_size"], captured["input_size"]) == (36, 32)
+    # --reference_sizes restores the paper's sizing in one flag
+    cli.main(["--dataset", "cifar10", "--seeds", "7", "--reference_sizes"])
+    assert (captured["resize_size"], captured["input_size"]) == (256, 224)
+    # explicit flags override --reference_sizes
+    cli.main(["--dataset", "cifar10", "--seeds", "7", "--reference_sizes",
+              "--input_size", "96"])
+    assert (captured["resize_size"], captured["input_size"]) == (256, 96)
+
+
 def test_scheduler_choices():
     p = build_parser()
     assert p.parse_args(["--scheduler", "cosine"]).scheduler == "cosine"
