@@ -316,11 +316,12 @@ class ArrayDataModule(DataModule):
                 c = self.num_input_channels
                 imgs = np.zeros((0, self.transform.input_size,
                                  self.transform.input_size, c), np.float32)
-            elif (shuffle and self.use_device_augment and pc == 1
+            elif (shuffle and self.use_device_augment
                   and self._device_shape_ok(raw)):
-                # pc == 1: the multi-process global-batch assembly needs
-                # host numpy rows, which would pull the augmented batch
-                # back off the device — host/native path is faster there
+                # multi-process runs keep the augmented rows on device too:
+                # the trainer assembles local device shards into the global
+                # array via make_array_from_single_device_arrays
+                # (parallel.dist._global_from_local_device_rows)
                 imgs = self._augment_device(raw, img_rngs)
             elif native_ok:
                 imgs = self._augment_native(raw, shuffle, img_rngs)

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.prefetch import prefetch
-from ..parallel.dist import global_batch_from_local
+from ..parallel.dist import global_batch_from_local, is_io_leader, sync_barrier
 from ..parallel.mesh import replicated_sharding
 from ..utils.tensorboard import SummaryWriter
 from .checkpoint import restore_checkpoint, save_checkpoint
@@ -98,11 +98,17 @@ class Trainer:
                                   config.label_smoothing)
             if self._k > 1 else None)
         self._eval_step = make_eval_step(num_classes, config.label_smoothing)
+        # multi-host write hygiene: on shared filesystems
+        # (NFP_TPU_SHARED_FS=1) only process 0 writes checkpoints, logs, TB
+        # events and PNGs — concurrent same-path writes are a race. On the
+        # default per-host-disk layout every process writes its own copy.
+        self._io_leader = is_io_leader()
         os.makedirs(config.log_dir, exist_ok=True)
-        self.logger = self._setup_logging(config.log_dir)
+        self.logger = self._setup_logging(config.log_dir, self._io_leader)
         self._metrics_path = os.path.join(config.log_dir, "metrics.jsonl")
         self.tb: Optional[SummaryWriter] = (
-            SummaryWriter(config.log_dir) if config.tensorboard else None)
+            SummaryWriter(config.log_dir)
+            if config.tensorboard and self._io_leader else None)
         self.state: Optional[TrainState] = None
         self.best = {"val_acc": -1.0, "epoch": -1}
 
@@ -132,15 +138,18 @@ class Trainer:
         self.tb.flush()
 
     @staticmethod
-    def _setup_logging(log_dir: str) -> logging.Logger:
+    def _setup_logging(log_dir: str, file_handler: bool = True
+                       ) -> logging.Logger:
         logger = logging.getLogger(f"nfp_tpu.{log_dir}")
         logger.setLevel(logging.INFO)
         logger.propagate = False  # avoid duplicate lines via the root logger
         if not logger.handlers:
-            fh = logging.FileHandler(os.path.join(log_dir, "experiment.log"))
-            fh.setFormatter(logging.Formatter(
-                "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
-            logger.addHandler(fh)
+            if file_handler:  # non-leader processes keep stderr only
+                fh = logging.FileHandler(
+                    os.path.join(log_dir, "experiment.log"))
+                fh.setFormatter(logging.Formatter(
+                    "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+                logger.addHandler(fh)
             sh = logging.StreamHandler()
             sh.setFormatter(logging.Formatter("%(message)s"))
             logger.addHandler(sh)
@@ -153,6 +162,8 @@ class Trainer:
             self.tb.close()
 
     def _log_metrics(self, record: Dict[str, Any]) -> None:
+        if not self._io_leader:
+            return
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
@@ -180,6 +191,30 @@ class Trainer:
                 lambda x: jax.device_put(x, sh), stacked)
         return stacked
 
+    def _replicate_state(self, state):
+        """Replicate every array leaf of the train state over the mesh.
+
+        ``make_array_from_callback`` instead of a plain ``device_put``: it
+        materializes only this process's addressable shards, so the same
+        code path serves single-process meshes AND multi-host runs (where
+        the mesh spans devices this process cannot address — restored
+        checkpoints arrive as host numpy and must become global replicated
+        arrays again)."""
+        if self.mesh is None:
+            return state
+        rep = replicated_sharding(self.mesh)
+
+        def put(x):
+            if isinstance(x, jax.Array) and x.sharding == rep:
+                return x
+            if not isinstance(x, (jax.Array, np.ndarray, jnp.ndarray)):
+                return x
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(arr.shape, rep,
+                                                lambda idx: arr[idx])
+
+        return jax.tree_util.tree_map(put, state)
+
     def init_state(self, sample_batch, total_steps: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed)
         state = create_train_state(self.model, rng,
@@ -189,13 +224,8 @@ class Trainer:
                                    scheduler=self.config.scheduler,
                                    total_steps=total_steps,
                                    pretrained_backbone=self.pretrained_backbone)
-        if self.mesh is not None:
-            rep = replicated_sharding(self.mesh)
-            state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, rep)
-                if isinstance(x, jax.Array) else x, state)
-        self.state = state
-        return state
+        self.state = self._replicate_state(state)
+        return self.state
 
     # ------------------------------------------------------------------ fit
 
@@ -240,6 +270,7 @@ class Trainer:
             if (os.path.isdir(os.path.abspath(last) + ".orbax")
                     or os.path.exists(last + ".msgpack")):
                 self.state, meta = restore_checkpoint(last, self.state)
+                self.state = self._replicate_state(self.state)
                 start_epoch = int(meta.get("epoch", -1)) + 1
                 es = meta.get("early_stop")
                 if es:
@@ -378,9 +409,10 @@ class Trainer:
             if val_metrics["accuracy"] > self.best["val_acc"]:
                 self.best = {"val_acc": val_metrics["accuracy"],
                              "epoch": epoch}
-                save_checkpoint(os.path.join(cfg.ckpt_dir, "best"),
-                                self.state,
-                                {"epoch": epoch, **val_metrics})
+                if self._io_leader:
+                    save_checkpoint(os.path.join(cfg.ckpt_dir, "best"),
+                                    self.state,
+                                    {"epoch": epoch, **val_metrics})
 
             # ReduceLROnPlateau on val_loss (Lightning_Wrapper.py:71-78)
             if cfg.scheduler == "plateau":
@@ -409,16 +441,18 @@ class Trainer:
             # ``last`` is written AFTER the counter updates so its metadata
             # carries the post-epoch early-stop/scheduler state (the LR
             # itself rides in the checkpointed opt_state.hyperparams)
-            save_checkpoint(
-                os.path.join(cfg.ckpt_dir, "last"), self.state,
-                {"epoch": epoch, **val_metrics,
-                 "early_stop": {
-                     "best_val_loss": (None if best_val_loss == float("inf")
-                                       else best_val_loss),
-                     "patience_left": patience_left},
-                 "sched": {"best": (None if sched_best == float("inf")
-                                    else sched_best),
-                           "wait": sched_wait}})
+            if self._io_leader:
+                save_checkpoint(
+                    os.path.join(cfg.ckpt_dir, "last"), self.state,
+                    {"epoch": epoch, **val_metrics,
+                     "early_stop": {
+                         "best_val_loss": (None
+                                           if best_val_loss == float("inf")
+                                           else best_val_loss),
+                         "patience_left": patience_left},
+                     "sched": {"best": (None if sched_best == float("inf")
+                                        else sched_best),
+                               "wait": sched_wait}})
             if stop:
                 self.logger.info(
                     f"early stopping at epoch {epoch} "
@@ -454,10 +488,14 @@ class Trainer:
             sample = next(iter(datamodule.test_batches()))
             self.init_state(sample)
         if restore in ("best", "last"):
+            # shared-FS multi-host: the leader may still be flushing the
+            # final epoch's checkpoint while other processes reach test()
+            sync_barrier("ckpt_restore")
             path = os.path.join(self.config.ckpt_dir, restore)
             if (os.path.isdir(os.path.abspath(path) + ".orbax")
                     or os.path.exists(path + ".msgpack")):
                 self.state, meta = restore_checkpoint(path, self.state)
+                self.state = self._replicate_state(self.state)
                 self.logger.info(f"restored {restore} checkpoint: {meta}")
         metrics = self.evaluate(datamodule.test_batches())
         cm = np.asarray(metrics.pop("confusion"))
@@ -476,6 +514,8 @@ class Trainer:
         return metrics
 
     def _save_confusion_png(self, cm: np.ndarray, label_names=None) -> None:
+        if not self._io_leader:
+            return
         try:
             import matplotlib
             matplotlib.use("Agg")
