@@ -69,17 +69,75 @@ CONFIGS = {
 
 SEEDS = [42, 123, 999]  # demo.py:545-554
 
+#: default pretrained-backbone sources for ``--download``. The torchvision
+#: resnet18 state_dict uses the same key names timm does, so it ports
+#: directly (``models/backbones/timm_port.py``). mobilenetv3/vittiny ship
+#: as HF-hosted safetensors with no stable plain-URL mirror — supply
+#: ``--weights_url model=url`` or ``NFP_TPU_WEIGHTS_URL_<MODEL>`` for them.
+WEIGHTS_URLS = {
+    "resnet18": "https://download.pytorch.org/models/resnet18-f37072fd.pth",
+}
+
+
+def resolve_weights(args, model_type: str):
+    """Local weights file for ``model_type``, downloading it when
+    ``--download`` is set and a URL is known (flag > env > built-in)."""
+    wdir = args.weights_dir or os.path.join(args.data_root, "weights")
+    if args.weights_dir:
+        for ext in (".pth", ".pt", ".npz"):
+            p = os.path.join(args.weights_dir, model_type + ext)
+            if os.path.exists(p):
+                return p
+    if not getattr(args, "download", False):
+        return None
+    url = (dict(getattr(args, "weights_url", None) or {}).get(model_type)
+           or os.environ.get(f"NFP_TPU_WEIGHTS_URL_{model_type.upper()}")
+           or WEIGHTS_URLS.get(model_type))
+    if not url:
+        return None
+    from neighbour_feature_pooling_tpu.data.download import (
+        download_file, network_available)
+
+    if not network_available():
+        return None
+    ext = os.path.splitext(url)[1] or ".pth"
+    dest = os.path.join(wdir, model_type + ext)
+    if os.path.exists(dest):
+        return dest
+    try:
+        return download_file(url, dest)
+    except Exception as e:
+        print(f"WARN: weights download failed for {model_type}: {e}")
+        return None
+
+
+def ensure_dataset(args, cfg: dict, config: dict) -> bool:
+    """True when the dataset directory exists, attempting the datamodule's
+    own guarded download lifecycle (``data/download.py``) first when
+    ``--download`` is set. No-ops offline (the network probe fails)."""
+    data_dir = config["data_dir"]
+    if os.path.isdir(data_dir):
+        return True
+    if not getattr(args, "download", False):
+        return False
+    from neighbour_feature_pooling_tpu.data import get_datamodule
+
+    dm = get_datamodule(cfg["dataset"], config)
+    try:
+        dm.prepare_data()
+    except Exception as e:
+        print(f"WARN: dataset download failed for {cfg['dataset']}: {e}")
+    resolved = getattr(dm, "data_dir", None) or data_dir
+    if os.path.isdir(resolved):
+        config["data_dir"] = resolved
+        return True
+    return False
+
 
 def build_config(name: str, cfg: dict, args) -> dict:
     from neighbour_feature_pooling_tpu.data import DATASET_NUM_CLASSES
 
-    weights = None
-    if args.weights_dir:
-        for ext in (".pth", ".pt", ".npz"):
-            p = os.path.join(args.weights_dir, cfg["model_type"] + ext)
-            if os.path.exists(p):
-                weights = p
-                break
+    weights = resolve_weights(args, cfg["model_type"])
     return {
         "name": f"repro_{name}",
         "data_dir": os.path.join(args.data_root, cfg["dataset"]),
@@ -120,11 +178,23 @@ def main() -> int:
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--require_all", action="store_true",
                     help="missing dataset dirs fail instead of skipping")
+    ap.add_argument("--download", action="store_true",
+                    help="fetch missing datasets (data/download.py guarded "
+                         "lifecycle) and pretrained weights (torchvision "
+                         "resnet18 by default; --weights_url/"
+                         "NFP_TPU_WEIGHTS_URL_<MODEL> for others) so a "
+                         "networked machine goes from nothing to pass/fail "
+                         "in one command")
+    ap.add_argument("--weights_url", action="append", default=[],
+                    metavar="MODEL=URL",
+                    help="pretrained state_dict URL per backbone, e.g. "
+                         "resnet18=https://.../resnet18.pth (repeatable)")
     ap.add_argument("--allow_missing_weights", action="store_true",
                     help="warn instead of fail when no pretrained weights "
                          "are given (from-scratch runs will miss the table)")
     ap.add_argument("--out", type=str, default="reproduce_readme.json")
     args = ap.parse_args()
+    args.weights_url = dict(s.split("=", 1) for s in args.weights_url)
 
     import numpy as np
 
@@ -137,16 +207,18 @@ def main() -> int:
     failures = []
     for name in args.configs:
         cfg = CONFIGS[name]
-        data_dir = os.path.join(args.data_root, cfg["dataset"])
-        if not os.path.isdir(data_dir):
-            msg = f"SKIP {name}: dataset dir {data_dir} not found"
+        config = build_config(name, cfg, args)
+        if not ensure_dataset(args, cfg, config):
+            msg = (f"SKIP {name}: dataset dir {config['data_dir']} not "
+                   f"found" + (" (download attempted)"
+                               if args.download else ""))
             print(msg)
             results[name] = {"status": "skipped", "reason": msg}
             if args.require_all:
                 failures.append(msg)
             continue
-        config = build_config(name, cfg, args)
-        if config["pretrained"] is None and args.weights_dir:
+        if config["pretrained"] is None and (args.weights_dir
+                                             or args.download):
             msg = (f"{name}: no {cfg['model_type']} weights in "
                    f"{args.weights_dir}")
             if not args.allow_missing_weights:
