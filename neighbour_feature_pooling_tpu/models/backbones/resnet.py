@@ -66,6 +66,54 @@ class _StemConvS2D(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+class _FusedStemTail(nn.Module):
+    """Drop-in for the stem's ``BatchNorm -> relu -> max_pool`` with the
+    fused backward of ``ops.stem_pool.bn_relu_maxpool`` (no
+    SelectAndScatter, closed-form BN gradient, 112² pre-pool map never
+    saved as a residual).
+
+    Variable layout is identical to ``nn.BatchNorm`` (params ``scale`` /
+    ``bias``, batch_stats ``mean`` / ``var``) so checkpoints and the timm
+    porter see the same tree; running stats follow flax's
+    ``momentum * old + (1 - momentum) * batch`` with biased fast variance.
+    Eval mode uses the stock ops (bit-parity with ``nn.BatchNorm``)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from ...ops.stem_pool import bn_relu_maxpool
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if not train:
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            a = ((x.astype(jnp.float32) - ra_mean.value) * (inv * scale)
+                 + bias).astype(self.dtype)
+            z = nn.relu(a)
+            return nn.max_pool(z, (3, 3), strides=(2, 2),
+                               padding=((1, 1), (1, 1)))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum)
+                             * jax.lax.stop_gradient(mean))
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum)
+                            * jax.lax.stop_gradient(var))
+        y = bn_relu_maxpool(x, mean, var, scale, bias, self.epsilon)
+        return y.astype(self.dtype)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -138,6 +186,12 @@ class ResNet(nn.Module):
     #: arithmetic, better MXU mapping; requires even H and W (falls back to
     #: the direct conv otherwise). Parameter tree is identical either way.
     stem_s2d: bool = False
+    #: fuse the stem's BN→ReLU→maxpool backward (_FusedStemTail /
+    #: ops.stem_pool). MEASURED 0.56× on v5e (PARITY.md "fused stem-tail
+    #: backward spike") — kept as the recorded round-3 spike, default OFF;
+    #: do not enable for performance. Same parameter tree ("bn1"
+    #: scale/bias/mean/var).
+    stem_fused: bool = False
 
     @property
     def num_features(self) -> int:
@@ -146,15 +200,20 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False,
                  return_stages: bool = False):
-        norm = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=self.dtype, name="bn1")
         if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = _StemConvS2D(dtype=self.dtype, name="conv1")(x)
         else:
             x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                         dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(norm(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.stem_fused:
+            x = _FusedStemTail(momentum=0.9, epsilon=1e-5,
+                               dtype=self.dtype, name="bn1")(x, train)
+        else:
+            norm = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name="bn1")
+            x = nn.relu(norm(x))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
 
         blk = BasicBlock if self.block == "basic" else Bottleneck
         if self.remat:

@@ -142,6 +142,9 @@ class TextureModel(nn.Module):
     #: ResNet stems only: compute the 7×7/s2 conv via space-to-depth (same
     #: arithmetic, better MXU mapping; see backbones/resnet._StemConvS2D)
     stem_s2d: bool = False
+    #: ResNet stems only: fused BN→ReLU→maxpool backward
+    #: (backbones/resnet._FusedStemTail, ops/stem_pool.py)
+    stem_fused: bool = False
 
     def _backbone(self):
         from .backbones.resnet import ResNet
@@ -151,11 +154,13 @@ class TextureModel(nn.Module):
         if mt == "resnet18":
             return ResNet(block="basic", layers=(2, 2, 2, 2),
                           dtype=self.dtype, remat=self.remat,
-                          stem_s2d=self.stem_s2d, name="backbone")
+                          stem_s2d=self.stem_s2d,
+                          stem_fused=self.stem_fused, name="backbone")
         if mt == "resnet50":
             return ResNet(block="bottleneck", layers=(3, 4, 6, 3),
                           dtype=self.dtype, remat=self.remat,
-                          stem_s2d=self.stem_s2d, name="backbone")
+                          stem_s2d=self.stem_s2d,
+                          stem_fused=self.stem_fused, name="backbone")
         if mt == "mobilenetv3":
             return MobileNetV3Large(dtype=self.dtype, remat=self.remat,
                                     name="backbone")
