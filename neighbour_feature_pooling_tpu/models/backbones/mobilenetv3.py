@@ -20,9 +20,11 @@ Equivalent to the reference's
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 __all__ = ["MobileNetV3Large", "mobilenetv3_large_100", "FEATURE_CHANNELS",
@@ -88,6 +90,49 @@ def _act(name: str):
     return nn.relu if name == "re" else hard_swish
 
 
+# Round-3 memory-wall spike (VERDICT directive #4), RETIRED — see PARITY.md.
+# Hypothesis: the TPU conv emitter can't fuse a depthwise conv with its
+# surrounding BN/hardswish, so expressing the k×k dw conv as k² shifted
+# elementwise multiply-adds (a loop fusion) should cut HBM passes. Measured
+# (bf16 B=128 train step, v5e-1): 16.6 → 55.8 ms (0.30×) — each tap's
+# backward becomes a separate pad-scatter plus a full weight-grad reduction
+# that XLA does not multi-output-fuse, while the conv emitter's dw backward
+# is already near the roofline. Kept behind NFP_TPU_DW_SHIFTED=1 (default
+# OFF, read at trace time) with equivalence tests as the recorded attempt.
+class DepthwiseConvShifted(nn.Module):
+    """k×k depthwise conv via k² strided shifted slices (fusion-friendly).
+
+    Parameter-compatible with ``nn.Conv(C, (k, k), strides=s, padding=k//2,
+    feature_group_count=C, use_bias=False)``: one ``kernel`` param of shape
+    (k, k, 1, C), same initializer, same zero ``SAME``-style padding and
+    output geometry.
+    """
+
+    kernel_size: int
+    stride: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        b, h, w, c = x.shape
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (k, k, 1, c), jnp.float32).astype(self.dtype)
+        pad = k // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        ho = (h + 2 * pad - k) // s + 1
+        wo = (w + 2 * pad - k) // s + 1
+        out = jnp.zeros((b, ho, wo, c), self.dtype)
+        for dh in range(k):
+            for dw in range(k):
+                tap = jax.lax.slice(
+                    xp, (0, dh, dw, 0),
+                    (b, dh + (ho - 1) * s + 1, dw + (wo - 1) * s + 1, c),
+                    (1, s, s, 1))
+                out = out + tap * kern[dh, dw, 0]
+        return out
+
+
 class SqueezeExcite(nn.Module):
     rd_ch: int
     dtype: Dtype = jnp.float32
@@ -121,9 +166,13 @@ class InvertedResidual(nn.Module):
                         name="conv_pw")(y)
             y = act(norm("bn1")(y))
         k = cfg.kernel
-        y = nn.Conv(cfg.exp_ch, (k, k), strides=cfg.stride, padding=k // 2,
-                    feature_group_count=cfg.exp_ch, use_bias=False,
-                    dtype=self.dtype, name="conv_dw")(y)
+        if os.environ.get("NFP_TPU_DW_SHIFTED", "0") == "1":
+            y = DepthwiseConvShifted(k, cfg.stride, dtype=self.dtype,
+                                     name="conv_dw")(y)
+        else:
+            y = nn.Conv(cfg.exp_ch, (k, k), strides=cfg.stride,
+                        padding=k // 2, feature_group_count=cfg.exp_ch,
+                        use_bias=False, dtype=self.dtype, name="conv_dw")(y)
         y = act(norm("bn2")(y))
         if cfg.use_se:
             # SE reduction from the expanded channels, divisible by 8

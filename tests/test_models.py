@@ -343,3 +343,60 @@ def test_remat_gradients_match():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-4,
                                        err_msg=mt)
+
+
+def test_dw_shifted_matches_conv():
+    """The shifted-slice depthwise conv (DepthwiseConvShifted, the retired
+    round-3 spike kept behind NFP_TPU_DW_SHIFTED=1) is parameter-compatible
+    and numerically equivalent to ``nn.Conv(feature_group_count=C)`` —
+    forward and gradients — across the kernel/stride combinations
+    MobileNetV3-Large actually uses."""
+    import flax.linen as nn
+
+    from neighbour_feature_pooling_tpu.models.backbones.mobilenetv3 import (
+        DepthwiseConvShifted,
+    )
+
+    rng = np.random.default_rng(3)
+    for k, s, c, h in [(3, 1, 16, 14), (3, 2, 64, 15),
+                       (5, 1, 120, 14), (5, 2, 672, 13)]:
+        x = jnp.asarray(rng.standard_normal((2, h, h, c)).astype(np.float32))
+        ref = nn.Conv(c, (k, k), strides=s, padding=k // 2,
+                      feature_group_count=c, use_bias=False)
+        shf = DepthwiseConvShifted(k, s)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        # same param tree: the conv variables apply to the shifted module
+        y_ref = ref.apply(v, x)
+        y_shf = shf.apply(v, x)
+        assert y_ref.shape == y_shf.shape
+        np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_shf),
+                                   atol=2e-6, rtol=1e-5)
+
+        g_ref = jax.grad(lambda p: jnp.sum(
+            jnp.sin(ref.apply(p, x))))(v)["params"]["kernel"]
+        g_shf = jax.grad(lambda p: jnp.sum(
+            jnp.sin(shf.apply(p, x))))(v)["params"]["kernel"]
+        np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_shf),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_dw_shifted_env_toggle_same_tree(monkeypatch):
+    """NFP_TPU_DW_SHIFTED=0 falls back to nn.Conv with an identical variable
+    tree, so ported timm weights load on either path."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+
+    monkeypatch.setenv("NFP_TPU_DW_SHIFTED", "0")
+    m0 = get_model("mobilenetv3", "gap_only", 3)
+    v0 = m0.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    y0 = m0.apply(v0, x, train=False)
+
+    monkeypatch.setenv("NFP_TPU_DW_SHIFTED", "1")
+    m1 = get_model("mobilenetv3", "gap_only", 3)
+    y1 = m1.apply(v0, x, train=False)  # same variables, shifted path
+
+    assert (jax.tree_util.tree_structure(v0)
+            == jax.tree_util.tree_structure(
+                m1.init({"params": jax.random.PRNGKey(0)}, x, train=False)))
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=2e-5, rtol=1e-4)
