@@ -114,6 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "accelerator (host only plans crops); removes the "
                         "CPU input-pipeline ceiling on few-core hosts. Eval "
                         "batches keep the host pipeline (exact parity)")
+    p.add_argument("--device_data", action="store_true",
+                   help="keep the decoded TRAIN split resident on the "
+                        "accelerator (uploaded once as uint8) and gather + "
+                        "augment rows on device each step; the host sends "
+                        "only indices and crop plans. Needs uniform image "
+                        "shapes and the split under NFP_TPU_DEVICE_DATA_MB "
+                        "(default 4096) of HBM; falls back to streaming "
+                        "otherwise")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per host dispatch (lax.scan); >1 "
                         "amortizes dispatch overhead (~10%% through the TPU "
@@ -298,6 +306,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "profile_steps": args.profile_steps,
         "steps_per_dispatch": args.steps_per_dispatch,
         "device_augment": args.device_augment,
+        "device_data": args.device_data,
     }
 
     results = []

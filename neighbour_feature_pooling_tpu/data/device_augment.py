@@ -35,13 +35,20 @@ def augment_batch_device(raw: jax.Array, crops: jax.Array, flips: jax.Array,
                          std: jax.Array) -> jax.Array:
     """Crop+resize+flip+normalize a uniform-shape image batch on device.
 
-    raw:   (B, H, W, C) float32 in [0, 1]
+    raw:   (B, H, W, C) float32 in [0, 1] or uint8 in [0, 255] — uint8 is
+           the preferred transport: it crosses host->device at 1/4 the
+           bytes and is rescaled on the accelerator (the dtype is static
+           at trace time, so each variant compiles once)
     crops: (B, 4) int32 — per-sample (top, left, h, w) source boxes
     flips: (B,) int32 — 1 = horizontal flip
     mean/std: (C,) float32 normalization constants
     Returns (B, out_size, out_size, C) float32.
     """
     _, h, w, _ = raw.shape
+    # bilinear interpolation is linear, so uint8 inputs can stay in 0-255
+    # space through the gather and fold the 1/255 into the final affine
+    scale = jnp.float32(1.0 / 255.0) if raw.dtype == jnp.uint8 \
+        else jnp.float32(1.0)
 
     def one(img, box, flip):
         top, left, ch, cw = (box[0].astype(jnp.float32),
@@ -66,7 +73,7 @@ def augment_batch_device(raw: jax.Array, crops: jax.Array, flips: jax.Array,
         return jnp.where(flip > 0, out[:, ::-1], out)
 
     out = jax.vmap(one)(raw.astype(jnp.float32), crops, flips)
-    return (out - mean) / std
+    return (out * scale - mean) / std
 
 
 def normalization_constants(cfg, channels: int) -> Tuple["np.ndarray",

@@ -19,10 +19,21 @@ from typing import Optional, Tuple
 import numpy as np
 
 __all__ = ["TransformConfig", "train_transform", "eval_transform",
-           "IMAGENET_MEAN", "IMAGENET_STD"]
+           "to_float01", "IMAGENET_MEAN", "IMAGENET_STD"]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def to_float01(img: np.ndarray) -> np.ndarray:
+    """Decoded image (uint8 [0,255] or float [0,1]) -> float32 [0,1].
+
+    The single conversion point shared by every augment path, so the
+    datamodules' uint8 decode convention (4x smaller cache/transfer) and
+    the in-memory float convention produce bit-identical pixels."""
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    return img.astype(np.float32)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,7 +100,7 @@ def train_transform(img: np.ndarray, cfg: TransformConfig,
     torchvision RandomResizedCrop semantics, and what the native fused
     kernel does — not short-side-resized and re-cropped.
     """
-    img = _resize(img.astype(np.float32), cfg.resize_size)
+    img = _resize(to_float01(img), cfg.resize_size)
     h, w = img.shape[:2]
     # RandomResizedCrop: sample area scale, aspect ~U(3/4, 4/3)
     for _ in range(10):
@@ -117,7 +128,7 @@ def eval_transform(img: np.ndarray, cfg: TransformConfig) -> np.ndarray:
     When ``input_size > resize_size`` the centered crop covers the whole
     short side and is upscaled (the native path's behavior); a plain
     center-crop would silently emit resize_size-sized images."""
-    img = _resize(img.astype(np.float32), cfg.resize_size)
+    img = _resize(to_float01(img), cfg.resize_size)
     if cfg.input_size > min(img.shape[:2]):
         img = _center_crop(img, min(img.shape[:2]))
         img = _resize_to(img, cfg.input_size, cfg.input_size)

@@ -84,10 +84,12 @@ def augment_batch(
     std: np.ndarray,
     num_threads: int = 0,
 ) -> np.ndarray:
-    """Fused resize(crop)→flip→normalize over a list of HWC float32 images.
+    """Fused resize(crop)→flip→normalize over a list of HWC images.
 
     Args:
-      images: per-image HWC float32 arrays (any sizes, same channel count).
+      images: per-image HWC arrays (any sizes, same channel count);
+        float32 in [0, 1] or uint8 in [0, 255] (scaled to [0, 1] here,
+        matching ``transforms.to_float01``).
       crops: int32 (n, 4) crop boxes (top, left, h, w) in source coords.
       flips: int32/bool (n,) horizontal-flip flags.
       out_size: (out_h, out_w).
@@ -121,7 +123,9 @@ def augment_batch(
     shapes = np.zeros((n, 2), np.int32)
     off = 0
     for i, img in enumerate(images):
-        if img.dtype != np.float32 or not img.flags["C_CONTIGUOUS"]:
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0  # bit-identical to_float01
+        elif img.dtype != np.float32 or not img.flags["C_CONTIGUOUS"]:
             img = np.ascontiguousarray(img, np.float32)
         flat_parts.append(img.reshape(-1))
         offsets[i] = off

@@ -172,7 +172,7 @@ def test_decode_cache(tmp_path):
 
     # partial budget: only a 2-image prefix fits the cache
     dm2 = mk(64)
-    one_img = 16 * 16 * 3 * 4
+    one_img = 16 * 16 * 3  # decoded images are cached as uint8
     dm2._decode_cache_budget = lambda: 2 * one_img
     list(dm2.train_batches(0))
     assert len(dm2._decode_cache) == 2
@@ -730,3 +730,189 @@ def test_metrics_np_matches_jnp():
     b = metrics_from_confusion_np(cm)
     for k in b:
         assert abs(a[k] - b[k]) < 1e-6, k
+
+
+class TestUint8Decode:
+    """Round-3 uint8 decode convention: file decodes stay uint8 (4x smaller
+    decoded-image cache and 4x less host->device transfer on the
+    device-augment path); all three augment consumers must convert to
+    [0, 1] float identically to the old float32/255 convention."""
+
+    def test_folder_decode_returns_uint8(self, tmp_path):
+        from PIL import Image
+
+        d = tmp_path / "cls"
+        d.mkdir()
+        arr = np.random.default_rng(0).integers(
+            0, 256, (20, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(d / "x.png")
+        dm = FolderDataModule(str(tmp_path), resize_size=20, input_size=16,
+                              batch_size=1, split=(1.0, 0.0, 0.0))
+        dm.setup()
+        dec = dm._decode(dm._splits["train"].images[0])
+        assert dec.dtype == np.uint8
+        np.testing.assert_array_equal(dec, arr)
+
+    def test_host_transforms_bit_identical_to_float(self):
+        rng = np.random.default_rng(1)
+        u8 = rng.integers(0, 256, (30, 26, 3), dtype=np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        cfg = TransformConfig(resize_size=24, input_size=20)
+        a = train_transform(u8, cfg, np.random.default_rng(5))
+        b = train_transform(f32, cfg, np.random.default_rng(5))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(eval_transform(u8, cfg),
+                                      eval_transform(f32, cfg))
+
+    def test_device_kernel_uint8_matches_float(self):
+        import jax.numpy as jnp
+
+        from neighbour_feature_pooling_tpu.data.device_augment import (
+            augment_batch_device)
+
+        rng = np.random.default_rng(2)
+        u8 = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        crops = jnp.asarray([[1, 2, 12, 10], [0, 0, 16, 16]], jnp.int32)
+        flips = jnp.asarray([1, 0], jnp.int32)
+        mean = jnp.asarray([0.4, 0.5, 0.6])
+        std = jnp.asarray([0.2, 0.3, 0.25])
+        a = augment_batch_device(jnp.asarray(u8), crops, flips, 12,
+                                 mean, std)
+        b = augment_batch_device(jnp.asarray(f32), crops, flips, 12,
+                                 mean, std)
+        # uint8 stays in 0-255 space through the bilinear gather (1/255
+        # folded into the final affine) -> last-ulp differences only
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_uint8_batches_match_float_batches(self, tmp_path, monkeypatch):
+        """End to end: a folder datamodule (uint8 decode) yields batches
+        bit-identical to the same images fed as in-memory float arrays."""
+        from PIL import Image
+
+        rng = np.random.default_rng(3)
+        arrs = {}
+        for cls in ("a", "b"):
+            d = tmp_path / cls
+            d.mkdir()
+            for i in range(6):
+                arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+                arrs[str(d / f"{i}.png")] = arr.astype(np.float32) / 255.0
+
+        def mk():
+            dm = FolderDataModule(str(tmp_path), resize_size=20,
+                                  input_size=16, batch_size=4)
+            dm.use_native = False
+            dm.setup()
+            return dm
+
+        dm_u8 = mk()
+        dm_f32 = mk()
+        for split in dm_f32._splits.values():  # swap paths for float arrays
+            split.images = [arrs[p] for p in split.images]
+        for mk_batches in (lambda d: d.train_batches(2),
+                           lambda d: d.val_batches(),
+                           lambda d: d.test_batches()):
+            for bu, bf in zip(mk_batches(dm_u8), mk_batches(dm_f32)):
+                np.testing.assert_array_equal(bu["image"], bf["image"])
+                np.testing.assert_array_equal(bu["label"], bf["label"])
+
+
+class TestDeviceData:
+    """Device-resident train split (data/device_data.py): upload once,
+    gather + augment on device; host sends only indices and crop plans."""
+
+    def test_gather_matches_numpy(self):
+        from neighbour_feature_pooling_tpu.data.device_data import (
+            build_device_split)
+
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+                for _ in range(11)]
+        # chunk_mb=0 -> one image per chunk: exercises the masked-sum
+        # multi-chunk gather
+        dd = build_device_split(imgs, chunk_mb=0)
+        assert dd is not None and len(dd.chunks) == 11 and dd.n == 11
+        idx = [3, 0, 10, 3, 7]
+        got = np.asarray(dd.gather(idx))
+        want = np.stack([imgs[i] for i in idx])
+        np.testing.assert_array_equal(got, want)
+        assert got.dtype == np.uint8
+
+        # float32 splits (in-memory synthetic datasets) work too
+        fimgs = [im.astype(np.float32) / 255.0 for im in imgs]
+        df = build_device_split(fimgs)
+        assert len(df.chunks) == 1
+        np.testing.assert_array_equal(
+            np.asarray(df.gather(idx)), np.stack([fimgs[i] for i in idx]))
+
+    def test_build_ineligible(self):
+        from neighbour_feature_pooling_tpu.data.device_data import (
+            build_device_split)
+
+        a = np.zeros((8, 8, 3), np.uint8)
+        b = np.zeros((10, 8, 3), np.uint8)
+        assert build_device_split([a, b]) is None  # mixed shapes
+        assert build_device_split([]) is None
+        assert build_device_split([a] * 4, budget_mb=0) is None  # over budget
+
+    def test_resident_batches_match_device_augment(self):
+        """Same seeds -> the resident path must be bit-identical to the
+        per-batch device-augment path (same plans, same kernel)."""
+        import jax
+
+        def mk(**flags):
+            dm = SyntheticDataModule(num_classes=3, num_samples=48,
+                                     image_size=24, batch_size=16, seed=7)
+            for k, v in flags.items():
+                setattr(dm, k, v)
+            dm.setup("fit")
+            return dm
+
+        da = mk(use_device_augment=True)
+        dr = mk(use_device_data=True)
+        for epoch in (0, 1):
+            for ba, br in zip(da.train_batches(epoch),
+                              dr.train_batches(epoch)):
+                assert isinstance(br["image"], jax.Array)
+                np.testing.assert_array_equal(np.asarray(ba["image"]),
+                                              np.asarray(br["image"]))
+                np.testing.assert_array_equal(ba["label"], br["label"])
+        # uploaded once: the split cache holds a single entry reused
+        # across epochs, and eval batches stay on the host pipeline
+        assert set(dr._device_split_cache) == {"train"}
+        ev = next(iter(dr.val_batches()))
+        assert isinstance(ev["image"], np.ndarray)
+
+    def test_folder_resident_from_uint8_files(self, tmp_path):
+        """uint8 folder split: resident batches match the device-augment
+        streaming path and the one-time upload is uint8-sized."""
+        import jax
+        from PIL import Image
+
+        rng = np.random.default_rng(5)
+        for cls in ("a", "b"):
+            d = tmp_path / cls
+            d.mkdir()
+            for i in range(8):
+                arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+        def mk(**flags):
+            dm = FolderDataModule(str(tmp_path), resize_size=20,
+                                  input_size=16, batch_size=4,
+                                  split=(1.0, 0.0, 0.0))
+            for k, v in flags.items():
+                setattr(dm, k, v)
+            dm.setup()
+            return dm
+
+        da = mk(use_device_augment=True)
+        dr = mk(use_device_data=True)
+        for ba, br in zip(da.train_batches(1), dr.train_batches(1)):
+            assert isinstance(br["image"], jax.Array)
+            np.testing.assert_array_equal(np.asarray(ba["image"]),
+                                          np.asarray(br["image"]))
+        dd = dr._device_split_cache["train"]
+        assert dd.nbytes == 16 * 24 * 24 * 3  # uint8, not float32

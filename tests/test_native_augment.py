@@ -97,3 +97,18 @@ def test_throughput_beats_python(lib_ok):
                              (224, 224), mean, std)
     t_cc = (time.perf_counter() - t0) / 3
     assert t_cc < t_py, (t_cc, t_py)
+
+
+def test_uint8_input_matches_float(lib_ok):
+    """uint8 images (the datamodules' decode convention) are scaled to
+    [0, 1] inside the wrapper — bit-identical to pre-scaled float32."""
+    rng = np.random.default_rng(4)
+    u8s = [rng.integers(0, 256, (20, 18, 3), dtype=np.uint8),
+           rng.integers(0, 256, (14, 14, 3), dtype=np.uint8)]
+    f32s = [u.astype(np.float32) / 255.0 for u in u8s]
+    crops = np.array([[2, 1, 16, 15], [0, 0, 14, 14]])
+    flips = np.array([1, 0])
+    mean, std = np.array([0.4, 0.5, 0.6]), np.array([0.2, 0.3, 0.25])
+    a = native.augment_batch(u8s, crops, flips, (12, 12), mean, std)
+    b = native.augment_batch(f32s, crops, flips, (12, 12), mean, std)
+    np.testing.assert_array_equal(a, b)
