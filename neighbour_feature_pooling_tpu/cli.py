@@ -122,6 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "shapes and the split under NFP_TPU_DEVICE_DATA_MB "
                         "(default 4096) of HBM; falls back to streaming "
                         "otherwise")
+    p.add_argument("--device_eval", action="store_true",
+                   help="ALSO run eval batches from the device-resident "
+                        "split: antialiased Resize+CenterCrop as two MXU "
+                        "matmuls (PIL-exact filter weights, ~1e-6 vs the "
+                        "host oracle). Default off: eval stays bit-exact "
+                        "vs the reference pipeline")
     p.add_argument("--steps_per_dispatch", type=int, default=1,
                    help="optimizer steps per host dispatch (lax.scan); >1 "
                         "amortizes dispatch overhead (~10%% through the TPU "
@@ -307,6 +313,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "steps_per_dispatch": args.steps_per_dispatch,
         "device_augment": args.device_augment,
         "device_data": args.device_data,
+        "device_eval": args.device_eval,
     }
 
     results = []

@@ -255,11 +255,13 @@ class ArrayDataModule(DataModule):
         return list(pool.map(self._decode_cached, items))
 
     def close(self) -> None:
-        """Release the decode pool (safe to call repeatedly)."""
+        """Release the decode pool and any device-resident split (safe to
+        call repeatedly)."""
         pool = getattr(self, "_decode_executor", None)
         if pool is not None:
             pool.shutdown(wait=False)
             self._decode_executor = None
+        self._device_split_cache = {}  # drops the HBM chunk references
 
     #: "auto" = use the native C++ augment kernel when the library builds;
     #: False = always the python/PIL path (the parity oracle).
@@ -283,6 +285,15 @@ class ArrayDataModule(DataModule):
     #: (``NFP_TPU_DEVICE_DATA_MB``, default 4096). Eval stays on the host
     #: pipeline (bit-exact reference parity).
     use_device_data: bool = False
+
+    #: True = ALSO run EVAL batches from device-resident splits, with the
+    #: antialiased Resize+CenterCrop expressed as two MXU matmuls built
+    #: from PIL's exact triangle-filter weights (``data/device_eval.py``).
+    #: Matches the host eval oracle to ~1e-6 per pixel (same weights,
+    #: different accumulation order) — opt-in so default eval metrics stay
+    #: bit-exact vs the reference pipeline. Same uniform-shape/HBM-budget
+    #: fallbacks as ``use_device_data``.
+    use_device_eval: bool = False
 
     def _native_enabled(self) -> bool:
         if self.use_native is False:
@@ -310,8 +321,8 @@ class ArrayDataModule(DataModule):
         end = n
         if shuffle and n >= bs:
             end = (n // bs) * bs
-        dd = self._device_split(split) if shuffle and self.use_device_data \
-            else None
+        want_dd = self.use_device_data if shuffle else self.use_device_eval
+        dd = self._device_split(split) if want_dd else None
         pi, pc = self._process_info()
         pad_to = bs
         if pc > 1:
@@ -335,8 +346,22 @@ class ArrayDataModule(DataModule):
                         for i in idx]
             if dd is not None and len(idx) > 0:
                 # device-resident split: no host decode, no pixel upload
-                yield _pad_batch(self._augment_resident(dd, idx, img_rngs),
-                                 sp.labels[idx], pad_to)
+                if shuffle:
+                    imgs = self._augment_resident(dd, idx, img_rngs)
+                    yield _pad_batch(imgs, sp.labels[idx], pad_to)
+                    continue
+                # eval: gather a full pad_to of rows (tail batches repeat
+                # row 0) so the jitted kernels see ONE shape, and mask the
+                # padding with the weight channel like _pad_batch does
+                k = len(idx)
+                gid = np.concatenate(
+                    [idx, np.zeros(pad_to - k, idx.dtype)])
+                weight = np.ones((pad_to,), np.float32)
+                weight[k:] = 0.0
+                labels = np.concatenate(
+                    [sp.labels[idx], np.zeros(pad_to - k, sp.labels.dtype)])
+                yield {"image": self._eval_resident(dd, gid),
+                       "label": labels.astype(np.int32), "weight": weight}
                 continue
             raw = self._decode_many([sp.images[i] for i in idx])
             if len(raw) == 0:
@@ -428,9 +453,13 @@ class ArrayDataModule(DataModule):
             cache = self._device_split_cache = {}
         if split in cache:
             return cache[split]
+        import logging  # noqa: PLC0415
+
         from .device_data import build_device_split  # noqa: PLC0415
 
+        log = logging.getLogger("nfp_tpu.data")
         dd = None
+        budget = int(os.environ.get("NFP_TPU_DEVICE_DATA_MB", "4096"))
         try:
             items = self._splits[split].images
             # bulk one-time decode across the worker pool, bypassing the
@@ -439,10 +468,19 @@ class ArrayDataModule(DataModule):
             pool = self._decode_pool()
             mapper = pool.map if pool is not None else map
             imgs = list(mapper(self._decode, items))
-            budget = int(os.environ.get("NFP_TPU_DEVICE_DATA_MB", "4096"))
             dd = build_device_split(imgs, budget_mb=budget)
-        except Exception:
-            dd = None  # e.g. no jax backend in a pure-host context
+        except Exception as e:  # e.g. no jax backend in a pure-host context
+            log.warning("device split %r build failed (%s); streaming",
+                        split, e)
+            dd = None
+        else:
+            if dd is None:
+                log.info("device split %r ineligible (mixed shapes or over "
+                         "%d MB); streaming", split, budget)
+            else:
+                log.info("device split %r resident: %d imgs, %.0f MB in %d "
+                         "chunk(s)", split, dd.n, dd.nbytes / (1 << 20),
+                         len(dd.chunks))
         cache[split] = dd
         return dd
 
@@ -464,6 +502,28 @@ class ArrayDataModule(DataModule):
         return augment_batch_device(dd.gather(idx), jnp.asarray(crops),
                                     jnp.asarray(flips), cfg.input_size,
                                     jnp.asarray(mean), jnp.asarray(std))
+
+    def _eval_resident(self, dd, gid):
+        """Eval pixels for resident rows ``gid``: antialiased
+        Resize+CenterCrop as two MXU matmuls + normalize, all on device
+        (``device_eval.eval_batch_device``); ~1e-6 vs the host oracle."""
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        from .device_augment import normalization_constants  # noqa: PLC0415
+        from .device_eval import (eval_batch_device,  # noqa: PLC0415
+                                  eval_matrices)
+
+        cfg = self.transform
+        key = (dd.shape, cfg.resize_size, cfg.input_size)
+        cached = getattr(self, "_eval_mats", None)
+        if cached is None or cached[0] != key:
+            wy, wx = eval_matrices(dd.shape[:2], cfg)
+            mean, std = normalization_constants(cfg, dd.shape[2])
+            cached = self._eval_mats = (
+                key, jnp.asarray(wy), jnp.asarray(wx), jnp.asarray(mean),
+                jnp.asarray(std))
+        _, wy, wx, mean, std = cached
+        return eval_batch_device(dd.gather(gid), wy, wx, mean, std)
 
     def train_batches(self, epoch: int = 0) -> Iterator[Batch]:
         return self._iter("train", True, epoch)
@@ -952,6 +1012,7 @@ def get_datamodule(dataset: str, config: Dict) -> DataModule:
     dm = _build_datamodule(dataset, config)
     dm.use_device_augment = bool(config.get("device_augment", False))
     dm.use_device_data = bool(config.get("device_data", False))
+    dm.use_device_eval = bool(config.get("device_eval", False))
     return dm
 
 

@@ -152,6 +152,36 @@ def bench_from_files(args) -> dict:
                   f"{rate:.0f} img/s")
         finally:
             dev_aug.augment_batch_device = orig
+
+        # Host-side cost of the --device_data path: the split lives on the
+        # accelerator (uploaded once), so per step the host only shuffles
+        # indices, seeds per-record RNGs and plans crops. Gather + augment
+        # are stubbed out to isolate that host stage — the true input-side
+        # ceiling of a device-resident training run.
+        from neighbour_feature_pooling_tpu.data import device_data as dev_dat
+        orig_gather = dev_dat.DeviceSplit.gather
+        orig_aug = dev_aug.augment_batch_device
+        try:
+            dev_dat.DeviceSplit.gather = lambda self, idx: None
+            dev_aug.augment_batch_device = (
+                lambda imgs, crops, flips, size, mean, std:
+                np.zeros((crops.shape[0], size, size, 3), np.float32))
+            dm = FolderDataModule(
+                jroot, resize_size=args.src + 32, input_size=args.input_size,
+                batch_size=args.batch, num_workers=ncpu,
+                split=(0.9, 0.05, 0.05))
+            dm.use_device_data = True
+            dm.setup("fit")
+            epoch_rate(dm, 0)  # builds the resident split (bulk decode)
+            assert dm._device_split_cache.get("train") is not None
+            rate = epoch_rate(dm, 1)
+            dm.close()
+            out["jpeg_device_data_hostside"] = round(rate, 1)
+            print(f"device-data host stage (indices+plans only): "
+                  f"{rate:.0f} img/s")
+        finally:
+            dev_dat.DeviceSplit.gather = orig_gather
+            dev_aug.augment_batch_device = orig_aug
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -916,3 +916,116 @@ class TestDeviceData:
                                           np.asarray(br["image"]))
         dd = dr._device_split_cache["train"]
         assert dd.nbytes == 16 * 24 * 24 * 3  # uint8, not float32
+
+
+def test_device_data_process_sliced_partition():
+    """--device_data under multi-process: every process holds the full
+    resident split but gathers only its rows of each global batch; the
+    union equals the single-process device-augment batches."""
+    def make(pi=None, pc=None):
+        dm = SyntheticDataModule(num_classes=2, num_samples=40,
+                                 image_size=12, batch_size=8)
+        dm.use_device_data = True
+        if pi is not None:
+            dm.process_index, dm.process_count = pi, pc
+        dm.prepare_data()
+        dm.setup("fit")
+        return dm
+
+    ref_batches = list(make().train_batches(2))
+    pc = 2
+    per_proc = [list(make(pi, pc).train_batches(2)) for pi in range(pc)]
+    for bi, ref in enumerate(ref_batches):
+        local = 8 // pc
+        for pi in range(pc):
+            got = per_proc[pi][bi]
+            assert got["image"].shape[0] == local
+            np.testing.assert_array_equal(
+                np.asarray(got["image"]),
+                np.asarray(ref["image"])[pi * local:(pi + 1) * local])
+            np.testing.assert_array_equal(
+                got["label"], ref["label"][pi * local:(pi + 1) * local])
+
+
+class TestDeviceEval:
+    """Device-resident eval (data/device_eval.py): PIL-exact antialiased
+    Resize+CenterCrop as two MXU matmuls over the resident split."""
+
+    def test_matches_host_eval_transform(self):
+        """Random uint8 sources through the composed weight matrices must
+        match eval_transform to ~1e-6 (same triangle-filter weights,
+        different accumulation order). Covers downscale, upscale-corner
+        and non-square geometries."""
+        import jax.numpy as jnp
+
+        from neighbour_feature_pooling_tpu.data.device_eval import (
+            eval_batch_device, eval_matrices)
+        from neighbour_feature_pooling_tpu.data.device_augment import (
+            normalization_constants)
+
+        rng = np.random.default_rng(0)
+        cases = [
+            ((40, 40, 3), TransformConfig(resize_size=32, input_size=28)),
+            ((50, 34, 3), TransformConfig(resize_size=36, input_size=32)),
+            ((30, 44, 3), TransformConfig(resize_size=24, input_size=20)),
+            # upscale corner: crop covers the short side, then upscales
+            ((26, 26, 3), TransformConfig(resize_size=16, input_size=24)),
+        ]
+        for shape, cfg in cases:
+            raw = rng.integers(0, 256, (3,) + shape, dtype=np.uint8)
+            want = np.stack([eval_transform(r, cfg) for r in raw])
+            wy, wx = eval_matrices(shape[:2], cfg)
+            mean, std = normalization_constants(cfg, shape[2])
+            got = eval_batch_device(jnp.asarray(raw), jnp.asarray(wy),
+                                    jnp.asarray(wx), jnp.asarray(mean),
+                                    jnp.asarray(std))
+            np.testing.assert_allclose(np.asarray(got), want, atol=1e-5,
+                                       err_msg=f"{shape} {cfg}")
+
+    def test_eval_batches_match_host_and_mask_tail(self):
+        """A datamodule with use_device_eval=True yields val/test batches
+        ~equal to the host pipeline, with tail padding masked by weight
+        and every batch at the full static shape."""
+        import jax
+
+        def mk(dev):
+            dm = SyntheticDataModule(num_classes=3, num_samples=50,
+                                     image_size=24, batch_size=16, seed=9)
+            dm.use_device_eval = dev
+            dm.setup("fit")
+            return dm
+
+        host = list(mk(False).val_batches()) + list(mk(False).test_batches())
+        dev = list(mk(True).val_batches()) + list(mk(True).test_batches())
+        assert len(host) == len(dev)
+        for bh, bd in zip(host, dev):
+            assert isinstance(bd["image"], jax.Array)
+            assert bd["image"].shape == bh["image"].shape  # static shapes
+            np.testing.assert_array_equal(bh["label"], bd["label"])
+            np.testing.assert_array_equal(bh["weight"], bd["weight"])
+            w = bh["weight"] > 0  # padding rows differ (zeros vs row 0)
+            np.testing.assert_allclose(np.asarray(bd["image"])[w],
+                                       bh["image"][w], atol=1e-5)
+
+    def test_trainer_metrics_match_host_eval(self):
+        """evaluate() through the device-eval path reproduces the host
+        pipeline's confusion matrix exactly (same argmax) on a trained
+        synthetic model."""
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.train import (Trainer,
+                                                         TrainerConfig)
+
+        def mk(dev):
+            dm = SyntheticDataModule(num_classes=3, num_samples=48,
+                                     image_size=24, batch_size=16, seed=5)
+            dm.use_device_eval = dev
+            dm.setup("fit")
+            return dm
+
+        model = get_model("resnet18", "gap_only", 3)
+        tr = Trainer(model, 3, TrainerConfig(max_epochs=1, tensorboard=False))
+        tr.init_state(next(iter(mk(False).train_batches(0))))
+        mh = tr.evaluate(mk(False).val_batches())
+        md = tr.evaluate(mk(True).val_batches())
+        assert mh["confusion"] == md["confusion"]
+        assert abs(mh["loss"] - md["loss"]) < 1e-4
