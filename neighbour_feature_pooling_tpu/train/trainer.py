@@ -294,6 +294,16 @@ class Trainer:
                 self.logger.info(
                     f"resumed from last checkpoint at epoch {start_epoch}")
 
+        img = sample["image"]
+        if isinstance(img, np.ndarray) and img.nbytes > (24 << 20):
+            # the round-3 diagnosis: big per-step float pixel uploads are
+            # slow and (through TPU relays) progressively degrading
+            self.logger.info(
+                f"per-step host->device image transfer is "
+                f"{img.nbytes >> 20} MB ({img.dtype}); if training is "
+                f"input-bound consider --device_augment or --device_data "
+                f"(uint8 transport, resident split)")
+
         dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
         prof_left = cfg.profile_steps  # steps still to capture in the trace
         prof_active = False

@@ -159,6 +159,11 @@ def build_config(name: str, cfg: dict, args) -> dict:
         "num_devices": None, "bf16": args.bf16,
         "scheduler": "none", "label_smoothing": 0.05,
         "pretrained": weights,
+        # default OFF: the host pipeline is the faithful reproduction of
+        # the reference's torchvision transforms; --device_data trades
+        # antialiased train crops for device-resident speed (eval stays
+        # ~1e-6-exact via the matmul resize path)
+        "device_data": args.device_data, "device_eval": args.device_data,
     }
 
 
@@ -175,6 +180,12 @@ def main() -> int:
     ap.add_argument("--max_epochs", type=int, default=200)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--num_workers", type=int, default=0)
+    ap.add_argument("--device_data", action="store_true",
+                    help="keep decoded splits device-resident (uint8, "
+                         "uploaded once) with on-device augment/eval — "
+                         "much faster on TPU hosts, but train crops use "
+                         "antialias=False semantics instead of the "
+                         "reference's PIL-antialiased pipeline")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--require_all", action="store_true",
                     help="missing dataset dirs fail instead of skipping")

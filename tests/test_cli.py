@@ -187,7 +187,7 @@ def test_reproduce_readme_harness(tmp_path, monkeypatch, capsys):
     args = type("A", (), {"weights_dir": str(tmp_path),
                           "data_root": str(tmp_path), "batch_size": 32,
                           "num_workers": 0, "max_epochs": 1,
-                          "bf16": False})()
+                          "bf16": False, "device_data": False})()
     cfg = rr.build_config("nfp_ucm", rr.CONFIGS["nfp_ucm"], args)
     assert cfg["pretrained"] == str(tmp_path / "resnet18.npz")
     assert cfg["similarity"] == "cosine" and cfg["input_size"] == 224
