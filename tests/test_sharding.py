@@ -201,3 +201,37 @@ def test_multiprocess_dryrun_two_hosts():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8, num_processes=2, coordinator_port=56917)
+
+
+def test_trainer_mesh_with_device_resident_data(tmp_path):
+    """--device_data/--device_eval under a data-parallel mesh: resident
+    gather+augment happens on one device, global_batch_from_local reshards
+    onto the mesh, and a 2-epoch fit matches the same fit on a single
+    device (same device pixels, same math up to fp reduction order)."""
+    from neighbour_feature_pooling_tpu.data import SyntheticDataModule
+    from neighbour_feature_pooling_tpu.train import Trainer, TrainerConfig
+
+    def fit(mesh):
+        dm = SyntheticDataModule(num_classes=3, num_samples=48,
+                                 image_size=24, batch_size=16, seed=11)
+        dm.use_device_data = True
+        dm.use_device_eval = True
+        cfg = TrainerConfig(learning_rate=1e-3, max_epochs=2,
+                            freeze_nfp=False, tensorboard=False,
+                            log_dir=str(tmp_path / f"l{mesh is None}"),
+                            ckpt_dir=str(tmp_path / f"c{mesh is None}"))
+        tr = Trainer(get_model("resnet18", "gap_only", 3), 3, cfg, mesh=mesh)
+        out = tr.fit(dm)
+        return [e["train"]["loss"] for e in out["history"]], \
+            [e["val"]["loss"] for e in out["history"]]
+
+    tl1, vl1 = fit(None)
+    tl8, vl8 = fit(create_mesh())
+    assert all(np.isfinite(tl8)) and all(np.isfinite(vl8))
+    # epoch 0 is pre-divergence (same pixels, same math): tight. Later
+    # epochs drift by fp reduction order through Adam's sign-like first
+    # steps (see test_data_parallel_step_matches_single_device): loose.
+    np.testing.assert_allclose(tl8[0], tl1[0], rtol=1e-4)
+    np.testing.assert_allclose(vl8[0], vl1[0], rtol=1e-3)
+    np.testing.assert_allclose(tl8, tl1, rtol=3e-2)
+    np.testing.assert_allclose(vl8, vl1, rtol=3e-2)
