@@ -47,6 +47,7 @@ class Predictor:
     num_input_channels: int = 3
     transform: Optional[TransformConfig] = None
     model_kwargs: Optional[Dict] = None
+    quantize: Optional[str] = None        # None (fp32) | "int8"
 
     def __post_init__(self):
         self.model = get_model(self.model_type, self.model_variant,
@@ -68,10 +69,30 @@ class Predictor:
             batch_stats = variables.get("batch_stats", {})
         self._variables = {"params": params, "batch_stats": batch_stats}
 
-        @jax.jit
-        def _forward(variables, images):
-            logits = self.model.apply(variables, images, train=False)
-            return jax.nn.softmax(logits, axis=-1)
+        if self.quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {self.quantize!r}; "
+                             "expected None or 'int8'")
+        if self.quantize == "int8":
+            # every eligible Conv/Dense runs s8×s8→s32 on the MXU; the
+            # interception happens at trace time, so the jitted function
+            # below is permanently the quantized program (see quant.py)
+            from .quant import make_int8_interceptor
+
+            import flax.linen as nn
+
+            interceptor = make_int8_interceptor()
+
+            @jax.jit
+            def _forward(variables, images):
+                with nn.intercept_methods(interceptor):
+                    logits = self.model.apply(variables, images,
+                                              train=False)
+                return jax.nn.softmax(logits, axis=-1)
+        else:
+            @jax.jit
+            def _forward(variables, images):
+                logits = self.model.apply(variables, images, train=False)
+                return jax.nn.softmax(logits, axis=-1)
 
         self._forward = _forward
 

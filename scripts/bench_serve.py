@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="post-training int8 path (quant.py): s8*s8->s32 "
+                         "on the MXU, 2x bf16 peak on v5e")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "bench_serve.jsonl"))
@@ -44,7 +47,8 @@ def main() -> None:
     kwargs = {"dtype": jnp.bfloat16} if args.bf16 else {}
     pred = Predictor(args.model_type, args.variant, 21,
                      batch_size=args.batch, input_size=args.img,
-                     model_kwargs=kwargs)
+                     model_kwargs=kwargs,
+                     quantize="int8" if args.int8 else None)
     rng = np.random.default_rng(0)
     x = rng.standard_normal(
         (args.batch, args.img, args.img, 3)).astype(np.float32)
@@ -79,7 +83,8 @@ def main() -> None:
     rec = {
         "model": f"{args.model_type}+{args.variant}",
         "batch": args.batch, "img": args.img,
-        "dtype": "bf16" if args.bf16 else "fp32",
+        "dtype": ("int8" if args.int8 else
+                  "bf16" if args.bf16 else "fp32"),
         "predict_p50_ms": round(p50, 2),
         "predict_p95_ms": round(p95, 2),
         "predict_img_per_s": round(args.batch / (p50 / 1e3), 1),

@@ -1,0 +1,224 @@
+"""int8 post-training-quantization tests (quant.py).
+
+The reference has no quantized inference; these tests pin the rebuild's
+int8 serving tier: exact quant math vs a numpy oracle, eligibility policy
+(depthwise/fc/small layers stay fp32), model-level closeness for every
+backbone family, and the Predictor/export integration.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from neighbour_feature_pooling_tpu.quant import (
+    QuantConfig, _quantize, make_int8_interceptor, quantized_apply)
+
+
+def _np_quant(x, axes=None):
+    amax = (np.max(np.abs(x)) if axes is None
+            else np.max(np.abs(x), axis=axes, keepdims=True))
+    scale = np.maximum(amax, 1e-12) / 127.0
+    # jnp.round and np.round are both round-half-to-even
+    q = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+class TestQuantMath:
+    def test_quantize_matches_numpy(self):
+        x = np.random.default_rng(0).standard_normal((5, 7)).astype(
+            np.float32) * 3.7
+        q, s = _quantize(jnp.asarray(x))
+        nq, ns = _np_quant(x)
+        np.testing.assert_array_equal(np.asarray(q), nq)
+        np.testing.assert_allclose(float(s), float(ns), rtol=1e-6)
+
+    def test_quantize_per_channel(self):
+        w = np.random.default_rng(1).standard_normal((3, 3, 8, 4)).astype(
+            np.float32)
+        q, s = _quantize(jnp.asarray(w), axes=(0, 1, 2))
+        nq, ns = _np_quant(w, axes=(0, 1, 2))
+        np.testing.assert_array_equal(np.asarray(q), nq)
+        np.testing.assert_allclose(np.asarray(s), ns, rtol=1e-6)
+
+    def test_quantize_zero_tensor(self):
+        q, s = _quantize(jnp.zeros((4, 4)))
+        assert np.all(np.asarray(q) == 0) and np.isfinite(float(s))
+
+
+class _OneConv(nn.Module):
+    strides: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(4, (3, 3), strides=self.strides, padding=1,
+                       use_bias=True, name="conv")(x)
+
+
+class _OneDense(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(5, name="dense")(x)
+
+
+class TestIntConvOracle:
+    def test_conv_int8_matches_numpy_oracle(self):
+        """Quantized conv == naive numpy int32-accumulation conv, exactly."""
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((1, 6, 6, 8)).astype(np.float32)
+        m = _OneConv()
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(quantized_apply(
+            m, v, jnp.asarray(x), config=QuantConfig(min_contraction=1)))
+
+        w = np.asarray(v["params"]["conv"]["kernel"])   # (3,3,8,4)
+        b = np.asarray(v["params"]["conv"]["bias"])
+        wq, ws = _np_quant(w, axes=(0, 1, 2))
+        xq, xs = _np_quant(x)
+        xpad = np.zeros((1, 8, 8, 8), np.int32)
+        xpad[:, 1:7, 1:7, :] = xq.astype(np.int32)
+        out = np.zeros((1, 3, 3, 4), np.int32)
+        for i in range(3):
+            for j in range(3):
+                patch = xpad[:, 2 * i: 2 * i + 3, 2 * j: 2 * j + 3, :]
+                out[:, i, j, :] = np.einsum(
+                    "bhwc,hwco->bo", patch, wq.astype(np.int32))
+        want = out.astype(np.float32) * (xs * ws.reshape(1, 1, 1, 4)) + b
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_dense_int8_matches_numpy_oracle(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((4, 64)).astype(np.float32)
+        m = _OneDense()
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(quantized_apply(
+            m, v, jnp.asarray(x), config=QuantConfig(min_contraction=1)))
+        w = np.asarray(v["params"]["dense"]["kernel"])
+        b = np.asarray(v["params"]["dense"]["bias"])
+        wq, ws = _np_quant(w, axes=(0,))
+        xq, xs = _np_quant(x)
+        want = (xq.astype(np.int32) @ wq.astype(np.int32)).astype(
+            np.float32) * (xs * ws.reshape(-1)) + b
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+class TestEligibility:
+    def test_depthwise_and_small_layers_stay_fp32(self):
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(8, (3, 3), padding=1, feature_group_count=8,
+                            name="dw")(x)          # depthwise: skip
+                x = nn.Conv(16, (1, 1), name="tiny")(x)  # 8 < 64: skip
+                return x
+
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((1, 5, 5, 8)), jnp.float32)
+        m = M()
+        v = m.init(jax.random.PRNGKey(0), x)
+        replaced = []
+        with nn.intercept_methods(make_int8_interceptor(
+                QuantConfig(min_contraction=64), replaced)):
+            got = m.apply(v, x)
+        assert replaced == []
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(m.apply(v, x)))
+
+    def test_fc_head_skipped_but_backbone_quantized(self):
+        from neighbour_feature_pooling_tpu.models import get_model
+
+        model = get_model("resnet18", "gap_only", 3)
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((1, 32, 32, 3)), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        replaced = []
+        with nn.intercept_methods(make_int8_interceptor(QuantConfig(),
+                                                        replaced)):
+            model.apply(v, x, train=False)
+        names = {p[-1] for p in replaced}
+        assert "fc" not in names
+        assert len(replaced) >= 15  # the resnet18 conv stack
+
+
+# Head/backbone pairings avoid a measurement pathology, not a quantizer
+# one: at random init MobileNetV3's late activations sit at amax ~1e-4,
+# and the lacunarity head's ratio-of-moments on those features yields
+# logits with norm ~1e-11 — relative logit error there is pure noise
+# (per-layer int8 error is ≤2% on every MNv3 layer; see quant.py). So
+# lacunarity is exercised on ResNet18 (O(1) activations) and MNv3 on the
+# scale-invariant cosine NFP head.
+MODEL_CASES = [
+    ("resnet18", "texture_lacunarity", 64, 20),
+    ("mobilenetv3", "texture_nfp", 64, 25),
+    ("vittiny", "texture_deepten", 64, 20),
+]
+
+
+class TestModelLevel:
+    @pytest.mark.parametrize("mtype,variant,size,min_quant", MODEL_CASES)
+    def test_int8_forward_close_to_fp32(self, mtype, variant, size,
+                                        min_quant):
+        from neighbour_feature_pooling_tpu.models import get_model
+
+        model = get_model(mtype, variant, 7)
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((2, size, size, 3)), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x[:1],
+                       train=False)
+        ref = np.asarray(model.apply(v, x, train=False))
+        replaced = []
+        with nn.intercept_methods(make_int8_interceptor(QuantConfig(),
+                                                        replaced)):
+            got = np.asarray(model.apply(v, x, train=False))
+        assert len(replaced) >= min_quant, (mtype, len(replaced))
+        rel = (np.linalg.norm(got - ref)
+               / max(np.linalg.norm(ref), 1e-12))
+        assert rel < 0.12, f"{mtype}: rel logit err {rel}"
+
+
+class TestPredictorIntegration:
+    def test_predictor_int8_runs_and_tracks_fp32(self):
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        kw = dict(num_classes=4, batch_size=4, input_size=32,
+                  resize_size=36)
+        fp = Predictor("resnet18", "texture_nfp", **kw)
+        q = Predictor("resnet18", "texture_nfp", quantize="int8", **kw)
+        # same random init on both predictors
+        q._variables = fp._variables
+        rng = np.random.default_rng(0)
+        imgs = [rng.random((40, 40, 3)).astype(np.float32)
+                for _ in range(5)]
+        a, b = fp.predict(imgs), q.predict(imgs)
+        assert b["probabilities"].shape == (5, 4)
+        assert np.mean(np.abs(a["probabilities"]
+                              - b["probabilities"])) < 0.05
+
+    def test_predictor_rejects_unknown_mode(self):
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        with pytest.raises(ValueError):
+            Predictor("resnet18", "gap_only", num_classes=2,
+                      quantize="fp8")
+
+    def test_int8_export_round_trip(self, tmp_path):
+        """The AOT artifact freezes the QUANTIZED program: reload matches
+        the live int8 predictor exactly."""
+        from neighbour_feature_pooling_tpu.serve import (
+            Predictor, export_predictor, load_exported)
+
+        pred = Predictor("resnet18", "gap_only", num_classes=3,
+                         batch_size=4, input_size=32, resize_size=36,
+                         quantize="int8")
+        rng = np.random.default_rng(1)
+        imgs = [rng.random((36, 36, 3)).astype(np.float32)
+                for _ in range(6)]
+        want = pred.predict(imgs)
+        path = str(tmp_path / "artifact_int8")
+        export_predictor(pred, path)
+        got = load_exported(path).predict(imgs)
+        np.testing.assert_allclose(got["probabilities"],
+                                   want["probabilities"], atol=1e-5)
+        np.testing.assert_array_equal(got["label"], want["label"])
