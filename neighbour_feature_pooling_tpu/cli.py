@@ -24,7 +24,8 @@ from .models import MODEL_VARIANTS, canonical_model_type, get_model
 from .ops.measures import MEASURE_NAMES
 from .train import Trainer, TrainerConfig
 
-__all__ = ["build_parser", "run_experiment", "main"]
+__all__ = ["build_parser", "run_experiment",
+           "run_experiments_seed_parallel", "main"]
 
 _SUMMARY_PRINTED = False  # demo.py:76
 
@@ -133,6 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "amortizes dispatch overhead (~10%% through the TPU "
                         "relay at flagship shapes)")
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
+    p.add_argument("--seed_parallel", action="store_true",
+                   help="train ALL seeds simultaneously as one vmapped + "
+                        "mesh-sharded program (Mesh(('seed','data'))) — the "
+                        "3-seed protocol at ~one training's wall-clock. "
+                        "Same per-seed rngs/shuffles/early-stopping as the "
+                        "serial loop; unsupported with --scheduler plateau "
+                        "or --steps_per_dispatch > 1")
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--num_workers", type=int, default=0)
@@ -250,6 +258,79 @@ def run_experiment(seed: int, config: Dict) -> float:
     return metrics["accuracy"]
 
 
+def run_experiments_seed_parallel(seeds: List[int],
+                                  config: Dict) -> List[float]:
+    """All seeds as one lockstep sharded program
+    (``parallel/seed_parallel.py``); returns per-seed test accuracies in
+    ``seeds`` order."""
+    import jax
+    import jax.numpy as jnp
+
+    from .parallel.seed_parallel import SeedParallelRunner, seed_parallel_mesh
+
+    dataset = config["dataset"]
+    datamodules = []
+    for seed in seeds:
+        dm = get_datamodule(dataset, dict(config, seed=seed))
+        dm.num_input_channels = 13 if dataset.lower() == "eurosat" else 3
+        datamodules.append(dm)
+    num_input_channels = datamodules[0].num_input_channels
+    datamodules[0].prepare_data()
+    datamodules[0].setup("fit")
+    num_classes = getattr(datamodules[0], "num_classes", None) or \
+        config["num_classes"]
+
+    model = get_model(
+        config["model_type"], config["model_variant"], num_classes,
+        num_input_channels=num_input_channels,
+        measure=config.get("similarity", "cosine"),
+        nfp_radius=config.get("nfp_radius", 1),
+        nfp_padding=config.get("nfp_padding", 0),
+        nfp_stride=config.get("nfp_stride", 1),
+        nfp_layer_idx=config.get("nfp_layer_idx", 3),
+        nfp_insert_idx=config.get("nfp_insert_idx", 1),
+        nfp_intermediate_layer_idx=config.get("nfp_intermediate_layer_idx",
+                                              1),
+        nfp_mid_layer_idx=config.get("nfp_mid_layer_idx", 1),
+        dtype=jnp.bfloat16 if config.get("bf16") else jnp.float32,
+        remat=config.get("remat", False),
+        stem_s2d=config.get("stem_s2d", True),
+    )
+
+    n_dev = config.get("num_devices") or len(jax.devices())
+    mesh = seed_parallel_mesh(len(seeds), jax.devices()[:n_dev])
+
+    pretrained_backbone = None
+    if config.get("pretrained"):
+        from .models.backbones.timm_port import (load_torch_state_dict,
+                                                 port_backbone)
+
+        sd = load_torch_state_dict(config["pretrained"])
+        pretrained_backbone = port_backbone(config["model_type"], sd,
+                                            in_chans=num_input_channels)
+
+    exp_dir = os.path.join(
+        "logs", dataset,
+        f"{config['model_type']}-{config['model_variant']}-seedpar")
+    ckpt_dir = os.path.join("checkpoints", dataset,
+                            f"{config['name']}_seedpar")
+    from .train import TrainerConfig
+
+    runner = SeedParallelRunner(model, num_classes, seeds, TrainerConfig(
+        learning_rate=config["learning_rate"],
+        max_epochs=config["max_epochs"],
+        patience=config["patience"],
+        min_delta=config["min_delta"],
+        label_smoothing=config.get("label_smoothing", 0.05),
+        scheduler=config.get("scheduler", "none"),
+        freeze_nfp=True, unfreeze_epoch=5,
+        log_dir=exp_dir, ckpt_dir=ckpt_dir,
+    ), mesh=mesh, pretrained_backbone=pretrained_backbone)
+    runner.fit(datamodules)
+    metrics = runner.test(datamodules)
+    return [m["accuracy"] for m in metrics]
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     from .parallel import initialize_distributed
     from .utils import enable_compilation_cache
@@ -316,12 +397,26 @@ def main(argv: Optional[List[str]] = None) -> None:
         "device_eval": args.device_eval,
     }
 
-    results = []
-    for seed in args.seeds:  # demo.py:545-551
-        print(f"\n==== Running experiment with seed {seed} ====")
-        acc = run_experiment(seed, config)
-        print(f"Seed {seed} Test Accuracy: {acc:.4f}")
-        results.append(acc)
+    seed_parallel = args.seed_parallel
+    if seed_parallel and (args.scheduler == "plateau"
+                          or args.steps_per_dispatch > 1):
+        print("--seed_parallel does not support --scheduler plateau or "
+              "--steps_per_dispatch > 1; falling back to the serial "
+              "seed loop")
+        seed_parallel = False
+    if seed_parallel:
+        print(f"\n==== Running {len(args.seeds)} seeds in parallel "
+              f"(lockstep sharded program) ====")
+        results = run_experiments_seed_parallel(args.seeds, config)
+        for seed, acc in zip(args.seeds, results):
+            print(f"Seed {seed} Test Accuracy: {acc:.4f}")
+    else:
+        results = []
+        for seed in args.seeds:  # demo.py:545-551
+            print(f"\n==== Running experiment with seed {seed} ====")
+            acc = run_experiment(seed, config)
+            print(f"Seed {seed} Test Accuracy: {acc:.4f}")
+            results.append(acc)
     print(f"\n Final Test Accuracy over {len(results)} seeds: "
           f"{np.mean(results):.4f} ± {np.std(results):.4f}")
 

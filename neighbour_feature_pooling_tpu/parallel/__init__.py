@@ -12,3 +12,7 @@ from .mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from .seed_parallel import (  # noqa: F401
+    SeedParallelRunner,
+    seed_parallel_mesh,
+)

@@ -35,7 +35,7 @@ from .metrics import confusion_matrix_update, init_confusion
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
            "make_multi_train_step", "make_eval_step", "cross_entropy_loss",
-           "freeze_mask", "train_step_body"]
+           "freeze_mask", "train_step_body", "eval_step_body"]
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -237,22 +237,30 @@ def make_multi_train_step(num_classes: int, k: int,
     return multi_step
 
 
+def eval_step_body(state: TrainState, batch, num_classes: int,
+                   label_smoothing: float = 0.05):
+    """One eval pass as a pure traceable function — jitted directly by
+    ``make_eval_step`` and ``vmap``-ped over the seed axis by
+    ``parallel/seed_parallel.py``."""
+    logits = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["image"], train=False)
+    w = batch["weight"].astype(jnp.float32)
+    k = logits.shape[-1]
+    onehot = jax.nn.one_hot(batch["label"], k)
+    smoothed = onehot * (1.0 - label_smoothing) + label_smoothing / k
+    per_ex = -jnp.sum(smoothed * jax.nn.log_softmax(logits), axis=-1)
+    cm = confusion_matrix_update(init_confusion(num_classes), logits,
+                                 batch["label"], batch["weight"])
+    return jnp.sum(per_ex * w), jnp.sum(w), cm, logits
+
+
 def make_eval_step(num_classes: int, label_smoothing: float = 0.05):
     """Build the jitted eval step: ``(state, batch) -> (loss_sum, weight_sum,
     confusion_update, logits)``."""
 
     @jax.jit
     def eval_step(state: TrainState, batch):
-        logits = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["image"], train=False)
-        w = batch["weight"].astype(jnp.float32)
-        k = logits.shape[-1]
-        onehot = jax.nn.one_hot(batch["label"], k)
-        smoothed = onehot * (1.0 - label_smoothing) + label_smoothing / k
-        per_ex = -jnp.sum(smoothed * jax.nn.log_softmax(logits), axis=-1)
-        cm = confusion_matrix_update(init_confusion(num_classes), logits,
-                                     batch["label"], batch["weight"])
-        return jnp.sum(per_ex * w), jnp.sum(w), cm, logits
+        return eval_step_body(state, batch, num_classes, label_smoothing)
 
     return eval_step
