@@ -1,0 +1,119 @@
+"""Tuned int8 GEMM on the MXU — the engine under int8 serving.
+
+Motivation (measured, v5e-1, PARITY.md round 3): XLA has no native
+int8-MXU lowering for ``conv_general_dilated`` — a bare s8×s8→s32 conv
+runs at 0.73× the bf16 conv. Mosaic, however, DOES emit the MXU's int8
+mode: the same naive Pallas matmul body runs int8 at 1.90× its bf16
+twin. This module is the tuned s8×s8→s32 GEMM that converts that
+hardware mode into serving throughput: ``quant.py`` lowers eligible
+convs to (im2col-free) shift-and-GEMM calls on it.
+
+Kernel shape: grid ``(M/TM, N/TN, K/TK)`` with the K axis innermost and
+``arbitrary`` (sequential) semantics; an fp32-free int32 accumulator
+tile lives in VMEM scratch across the K steps; Mosaic double-buffers the
+A/B block DMAs. Inputs are padded to tile multiples on the host side of
+the call (XLA pads — cheap next to the GEMM).
+
+The reference has no analog (its quantization story is absent entirely;
+serving stops at ``trainer.test``, ``/root/reference/demo.py:427``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["int8_gemm"]
+
+
+def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, k_steps: int):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(a_ref[:], b_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == k_steps - 1)
+    def _flush():
+        o_ref[:] = acc_ref[:]
+
+
+def _pad_to(x: jax.Array, mult: Tuple[int, int]) -> jax.Array:
+    pm = (-x.shape[0]) % mult[0]
+    pn = (-x.shape[1]) % mult[1]
+    if pm or pn:
+        x = jnp.pad(x, ((0, pm), (0, pn)))
+    return x
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "tk", "interpret"))
+def _int8_gemm_padded(a: jax.Array, b: jax.Array,
+                      tm: int, tn: int, tk: int,
+                      interpret: bool = False) -> jax.Array:
+    m, k = a.shape
+    _, n = b.shape
+    k_steps = k // tk
+    kern = functools.partial(_gemm_kernel, k_steps=k_steps)
+    return pl.pallas_call(
+        kern,
+        grid=(m // tm, n // tn, k_steps),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(a, b)
+
+
+def int8_gemm(a: jax.Array, b: jax.Array,
+              tiles: Optional[Tuple[int, int, int]] = None) -> jax.Array:
+    """``(M, K) int8 × (K, N) int8 → (M, N) int32`` on the MXU int8 mode.
+
+    Shapes need not be tile-aligned; inputs are zero-padded (zeros
+    contribute nothing to the s32 accumulation) and the output sliced
+    back. ``tiles=(TM, TN, TK)`` overrides the default tiling.
+    """
+    if a.dtype != jnp.int8 or b.dtype != jnp.int8:
+        raise TypeError(f"int8_gemm needs int8 operands, got "
+                        f"{a.dtype}/{b.dtype}")
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"contraction mismatch: {a.shape} x {b.shape}")
+    tm, tn, tk = tiles or _default_tiles(m, n, k)
+    ap = _pad_to(a, (tm, tk))
+    bp = _pad_to(b, (tk, tn))
+    out = _int8_gemm_padded(ap, bp, tm, tn, tk, interpret=_use_interpret())
+    if out.shape != (m, n):
+        out = out[:m, :n]
+    return out
+
+
+def _default_tiles(m: int, n: int, k: int) -> Tuple[int, int, int]:
+    """Tile heuristic (swept on v5e-1, scripts/bench_int8_gemm.py)."""
+    tm = min(512, max(32, _round_pow2(m)))
+    tn = min(512, max(128, _round_pow2(n)))
+    tk = min(2048, max(128, _round_pow2(k)))
+    return tm, tn, tk
+
+
+def _round_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p

@@ -1,0 +1,67 @@
+"""int8 Pallas conv: exact s32 equality vs the XLA convolution.
+
+Interpret mode on the CPU test backend; Mosaic-compiled + swept on TPU
+(scripts/bench_int8_gemm.py --conv).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from neighbour_feature_pooling_tpu.ops.int8_conv import int8_conv2d
+
+
+def _ref(x, w, padding):
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=padding,
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
+
+
+@pytest.mark.parametrize("b,h,wd,cin,cout,k,padding", [
+    (2, 8, 8, 8, 16, 3, "SAME"),
+    (1, 10, 7, 16, 8, 3, "SAME"),     # odd width: Wp-wrap columns sliced
+    (2, 9, 9, 8, 8, 5, "SAME"),       # 5x5 taps
+    (1, 8, 8, 8, 16, 3, "VALID"),
+    (1, 6, 6, 4, 8, 1, "SAME"),       # degenerate 1x1
+])
+def test_int8_conv_exact(b, h, wd, cin, cout, k, padding):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, (b, h, wd, cin)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (k, k, cin, cout)), jnp.int8)
+    got = int8_conv2d(x, w, padding=padding)
+    want = _ref(x, w, [(max(0, (k - 1) // 2), max(0, k // 2))] * 2
+                if padding == "SAME" else [(0, 0)] * 2)
+    assert got.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_explicit_padding():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.integers(-127, 128, (1, 6, 6, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 8)), jnp.int8)
+    got = int8_conv2d(x, w, padding=((2, 0), (0, 2)))
+    want = _ref(x, w, [(2, 0), (0, 2)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_cout_tiling():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(-127, 128, (1, 8, 8, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 32)), jnp.int8)
+    full = int8_conv2d(x, w, tcout=32)
+    tiled = int8_conv2d(x, w, tcout=8)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(tiled))
+
+
+def test_int8_conv_rejects_bad_inputs():
+    x8 = jnp.zeros((1, 4, 4, 4), jnp.int8)
+    with pytest.raises(TypeError):
+        int8_conv2d(jnp.zeros((1, 4, 4, 4), jnp.float32),
+                    jnp.zeros((3, 3, 4, 4), jnp.int8))
+    with pytest.raises(ValueError):
+        int8_conv2d(x8, jnp.zeros((3, 3, 8, 4), jnp.int8))  # Cin mismatch
+    with pytest.raises(ValueError):
+        int8_conv2d(x8, jnp.zeros((3, 3, 4, 4), jnp.int8), tcout=3)

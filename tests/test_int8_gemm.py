@@ -1,0 +1,53 @@
+"""int8 Pallas GEMM: exact s32 equality vs the XLA contraction.
+
+Runs in Pallas interpret mode on the CPU test backend; the same kernel
+compiles via Mosaic on TPU (tile sweep in scripts/bench_int8_gemm.py).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neighbour_feature_pooling_tpu.ops.int8_gemm import int8_gemm
+
+
+def _ref(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.int32)
+
+
+@pytest.mark.parametrize("m,n,k", [
+    (128, 128, 128),      # single tile
+    (256, 384, 512),      # multi-tile, K-accumulation
+    (100, 70, 130),       # nothing aligned -> host-side pad + slice
+    (1, 128, 64),         # degenerate M
+])
+def test_int8_gemm_exact(m, n, k):
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    got = int8_gemm(a, b, tiles=(128, 128, 128))
+    assert got.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(_ref(a, b)))
+
+
+def test_int8_gemm_extreme_values_no_overflow():
+    # worst case |acc| = 127*127*K; K=1024 stays far inside int32
+    k = 1024
+    a = jnp.full((8, k), -127, jnp.int8)
+    b = jnp.full((k, 128), 127, jnp.int8)
+    got = int8_gemm(a, b, tiles=(8, 128, 256))
+    assert int(got[0, 0]) == -127 * 127 * k
+
+
+def test_int8_gemm_rejects_bad_dtypes():
+    a = jnp.zeros((8, 8), jnp.float32)
+    b = jnp.zeros((8, 8), jnp.int8)
+    with pytest.raises(TypeError):
+        int8_gemm(a, b)
+
+
+def test_int8_gemm_rejects_shape_mismatch():
+    a = jnp.zeros((8, 16), jnp.int8)
+    b = jnp.zeros((8, 8), jnp.int8)
+    with pytest.raises(ValueError):
+        int8_gemm(a, b)

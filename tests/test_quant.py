@@ -222,3 +222,56 @@ class TestPredictorIntegration:
         np.testing.assert_allclose(got["probabilities"],
                                    want["probabilities"], atol=1e-5)
         np.testing.assert_array_equal(got["label"], want["label"])
+
+
+class _GemmRouteModel(nn.Module):
+    """1x1 convs (plain + strided) and a Dense — the MXU-GEMM-routable set."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(96, (1, 1), name="pw")(x)
+        x = nn.Conv(128, (1, 1), strides=2, name="pw_s2")(x)
+        x = nn.Conv(64, (3, 3), padding=1, name="spatial")(x)  # stays conv
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(80, name="proj")(x)
+
+
+class TestMXUGemmRoute:
+    """cfg.use_mxu_gemm routes dense/1x1-conv contractions through the
+    Pallas int8 GEMM (ops/int8_gemm.py). s32 accumulation is exact, so the
+    two routes must agree bit-for-bit."""
+
+    def test_gemm_route_bit_identical_to_xla_route(self):
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((2, 8, 8, 64)), jnp.float32)
+        m = _GemmRouteModel()
+        v = m.init(jax.random.PRNGKey(0), x)
+        outs = {}
+        for mxu in (False, True):
+            cfg = QuantConfig(min_contraction=1, use_mxu_gemm=mxu)
+            outs[mxu] = np.asarray(quantized_apply(m, v, x, config=cfg))
+        np.testing.assert_array_equal(outs[True], outs[False])
+
+    def test_layer_kernel_dispatch(self):
+        """1x1 convs + dense -> int8_gemm; stride-1 spatial convs ->
+        int8_conv2d; nothing falls through to the XLA conv."""
+        from neighbour_feature_pooling_tpu import quant as q
+
+        gemm_calls, conv_calls = [], []
+        orig_g, orig_c = q.int8_gemm, q.int8_conv2d
+        q.int8_gemm = lambda a, b, **kw: gemm_calls.append(
+            a.shape) or orig_g(a, b, **kw)
+        q.int8_conv2d = lambda x, w, **kw: conv_calls.append(
+            w.shape) or orig_c(x, w, **kw)
+        try:
+            x = jnp.asarray(np.random.default_rng(1)
+                            .standard_normal((1, 8, 8, 64)), jnp.float32)
+            m = _GemmRouteModel()
+            v = m.init(jax.random.PRNGKey(0), x)
+            cfg = QuantConfig(min_contraction=1, use_mxu_gemm=True)
+            quantized_apply(m, v, x, config=cfg)
+        finally:
+            q.int8_gemm, q.int8_conv2d = orig_g, orig_c
+        assert len(gemm_calls) == 3          # pw, pw_s2, proj
+        assert all(s[1] in (64, 96, 128) for s in gemm_calls)
+        assert conv_calls == [(3, 3, 128, 64)]  # the spatial layer
