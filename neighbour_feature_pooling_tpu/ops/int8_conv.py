@@ -86,14 +86,70 @@ def _conv_flat(xf: jax.Array, w: jax.Array, kh: int, kw: int, wp: int,
     )(xf, w)
 
 
+def _resolve_pads(padding, kh: int, kw: int, h: int, wdt: int,
+                  strides: Tuple[int, int]):
+    """Padding spec → explicit ((top,bot),(left,right)), matching XLA's
+    SAME convention under strides (``lo = floor, hi = ceil`` of the
+    deficit)."""
+    if isinstance(padding, str):
+        if padding.upper() == "SAME":
+            pads = []
+            for dim, k, s in ((h, kh, strides[0]), (wdt, kw, strides[1])):
+                out = -(-dim // s)                       # ceil
+                total = max((out - 1) * s + k - dim, 0)
+                pads.append((total // 2, total - total // 2))
+            return tuple(pads)
+        if padding.upper() == "VALID":
+            return ((0, 0), (0, 0))
+        raise ValueError(f"unsupported padding {padding!r}")
+    return tuple((int(lo), int(hi)) for lo, hi in padding)
+
+
+def _space_to_depth(x: jax.Array, w: jax.Array, pads,
+                    strides: Tuple[int, int]):
+    """Exact strided→unit-stride rewrite in the int8 domain.
+
+    Pad x per ``pads`` (zeros are exact under s32 accumulation), round
+    the padded extent up to a stride multiple, fold ``sh×sw`` phases into
+    channels, and scatter the kernel taps into a
+    ``(ceil(kh/sh), ceil(kw/sw), sh·sw·Cin, Cout)`` kernel so a VALID
+    stride-1 conv reproduces every strided output position. Same algebra
+    as the MLPerf s2d stem (``backbones/resnet.py::stem_s2d``) but kept
+    bit-exact for the quantized path.
+    """
+    b, h, wdt, cin = x.shape
+    kh, kw, _, cout = w.shape
+    sh, sw = strides
+    xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    hp = xp.shape[1] + (-xp.shape[1]) % sh
+    wp = xp.shape[2] + (-xp.shape[2]) % sw
+    xp = jnp.pad(xp, ((0, 0), (0, hp - xp.shape[1]),
+                      (0, wp - xp.shape[2]), (0, 0)))
+    x2 = (xp.reshape(b, hp // sh, sh, wp // sw, sw, cin)
+          .transpose(0, 1, 3, 2, 4, 5)
+          .reshape(b, hp // sh, wp // sw, sh * sw * cin))
+    kh2 = -(-kh // sh)
+    kw2 = -(-kw // sw)
+    w2 = jnp.zeros((kh2, kw2, sh, sw, cin, cout), w.dtype)
+    for a in range(kh):
+        for bb in range(kw):
+            w2 = w2.at[a // sh, bb // sw, a % sh, bb % sw].set(w[a, bb])
+    w2 = w2.reshape(kh2, kw2, sh * sw * cin, cout)
+    ho = (h + pads[0][0] + pads[0][1] - kh) // sh + 1
+    wo = (wdt + pads[1][0] + pads[1][1] - kw) // sw + 1
+    return x2, w2, ho, wo
+
+
 def int8_conv2d(x: jax.Array, w: jax.Array,
                 padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
+                strides: Tuple[int, int] = (1, 1),
                 tcout: Optional[int] = None) -> jax.Array:
     """``(B,H,W,Cin) s8 ⊛ (Kh,Kw,Cin,Cout) s8 → (B,Ho,Wo,Cout) s32``.
 
-    Stride-1, dilation-1, single-group NHWC/HWIO conv with exact int32
-    accumulation on the MXU's int8 mode. ``padding`` is ``"SAME"``,
-    ``"VALID"`` or explicit ``((top,bot),(left,right))``.
+    Dilation-1, single-group NHWC/HWIO conv with exact int32 accumulation
+    on the MXU's int8 mode. ``padding`` is ``"SAME"``, ``"VALID"`` or
+    explicit ``((top,bot),(left,right))``. Strides > 1 are lowered to the
+    unit-stride kernel through an exact space-to-depth rewrite.
     """
     if x.dtype != jnp.int8 or w.dtype != jnp.int8:
         raise TypeError(f"int8_conv2d needs int8 operands, got "
@@ -104,15 +160,12 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
     kh, kw, cin2, cout = w.shape
     if cin != cin2:
         raise ValueError(f"Cin mismatch: {x.shape} vs {w.shape}")
-    if isinstance(padding, str):
-        if padding.upper() == "SAME":
-            pads = (((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2))
-        elif padding.upper() == "VALID":
-            pads = ((0, 0), (0, 0))
-        else:
-            raise ValueError(f"unsupported padding {padding!r}")
-    else:
-        pads = tuple((int(lo), int(hi)) for lo, hi in padding)
+    strides = (int(strides[0]), int(strides[1]))
+    pads = _resolve_pads(padding, kh, kw, h, wdt, strides)
+    if strides != (1, 1):
+        x2, w2, ho, wo = _space_to_depth(x, w, pads, strides)
+        out = int8_conv2d(x2, w2, padding="VALID", tcout=tcout)
+        return out[:, :ho, :wo, :]
     hp = h + pads[0][0] + pads[0][1]
     wp = wdt + pads[1][0] + pads[1][1]
     ho = hp - kh + 1

@@ -184,10 +184,10 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
         acc = int8_gemm(xsub.reshape(-1, in_features),
                         wq.reshape(in_features, mod.features))
         acc = acc.reshape(xsub.shape[:-1] + (mod.features,))
-    elif cfg._mxu() and nd == 2 and all(s == 1 for s in strides):
+    elif cfg._mxu() and nd == 2:
         pad = (mod.padding if isinstance(mod.padding, str)
                else _canon_padding(mod.padding, nd))
-        acc = int8_conv2d(xq, wq, padding=pad)
+        acc = int8_conv2d(xq, wq, padding=pad, strides=strides)
     else:
         dn = lax.conv_dimension_numbers(x.shape, kshape,
                                         ("NHWC", "HWIO", "NHWC"))

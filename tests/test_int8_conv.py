@@ -1,7 +1,7 @@
 """int8 Pallas conv: exact s32 equality vs the XLA convolution.
 
 Interpret mode on the CPU test backend; Mosaic-compiled + swept on TPU
-(scripts/bench_int8_gemm.py --conv).
+(scripts/bench_int8_conv.py).
 """
 
 import jax.numpy as jnp
@@ -65,3 +65,38 @@ def test_int8_conv_rejects_bad_inputs():
         int8_conv2d(x8, jnp.zeros((3, 3, 8, 4), jnp.int8))  # Cin mismatch
     with pytest.raises(ValueError):
         int8_conv2d(x8, jnp.zeros((3, 3, 4, 4), jnp.int8), tcout=3)
+
+
+@pytest.mark.parametrize("h,wd,cin,cout,k,s,padding", [
+    (56, 56, 8, 16, 3, 2, "SAME"),    # ResNet downsample shape (thin C)
+    (9, 9, 8, 8, 3, 2, "SAME"),       # odd extent under stride
+    (8, 8, 8, 8, 3, 2, "VALID"),
+    (10, 8, 8, 16, 1, 2, "SAME"),     # strided 1x1 (downsample proj)
+    (12, 12, 4, 8, 5, 3, "SAME"),     # stride 3, 5x5
+    (11, 13, 4, 8, 3, 2, "VALID"),    # odd both dims
+])
+def test_int8_conv_strided_exact(h, wd, cin, cout, k, s, padding):
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.integers(-127, 128, (2, h, wd, cin)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (k, k, cin, cout)), jnp.int8)
+    got = int8_conv2d(x, w, padding=padding, strides=(s, s))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    want = lax.conv_general_dilated(
+        x, w, window_strides=(s, s), padding=padding,
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_asymmetric_strides():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(-127, 128, (1, 12, 12, 4)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 4, 8)), jnp.int8)
+    got = int8_conv2d(x, w, padding="SAME", strides=(2, 1))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    want = lax.conv_general_dilated(
+        x, w, window_strides=(2, 1), padding="SAME",
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -231,7 +231,9 @@ class _GemmRouteModel(nn.Module):
     def __call__(self, x):
         x = nn.Conv(96, (1, 1), name="pw")(x)
         x = nn.Conv(128, (1, 1), strides=2, name="pw_s2")(x)
-        x = nn.Conv(64, (3, 3), padding=1, name="spatial")(x)  # stays conv
+        x = nn.Conv(64, (3, 3), padding=1, name="spatial")(x)
+        x = nn.Conv(64, (3, 3), strides=2, padding="SAME",
+                    name="spatial_s2")(x)  # s2d-rewritten conv route
         x = x.mean(axis=(1, 2))
         return nn.Dense(80, name="proj")(x)
 
@@ -274,4 +276,5 @@ class TestMXUGemmRoute:
             q.int8_gemm, q.int8_conv2d = orig_g, orig_c
         assert len(gemm_calls) == 3          # pw, pw_s2, proj
         assert all(s[1] in (64, 96, 128) for s in gemm_calls)
-        assert conv_calls == [(3, 3, 128, 64)]  # the spatial layer
+        # spatial (stride 1) + spatial_s2 (strided -> conv route too)
+        assert conv_calls == [(3, 3, 128, 64), (3, 3, 64, 64)]
