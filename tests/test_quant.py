@@ -278,3 +278,19 @@ class TestMXUGemmRoute:
         assert all(s[1] in (64, 96, 128) for s in gemm_calls)
         # spatial (stride 1) + spatial_s2 (strided -> conv route too)
         assert conv_calls == [(3, 3, 128, 64), (3, 3, 64, 64)]
+
+    def test_resnet18_mxu_route_bit_identical(self):
+        """Whole-model integration: every eligible ResNet18 layer through
+        the Pallas kernels == the XLA int8 lowering, bit-for-bit."""
+        from neighbour_feature_pooling_tpu.models import get_model
+
+        model = get_model("resnet18", "gap_only", 3)
+        x = jnp.asarray(np.random.default_rng(2)
+                        .standard_normal((1, 32, 32, 3)), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        outs = {}
+        for mxu in (False, True):
+            cfg = QuantConfig(use_mxu_gemm=mxu)
+            with nn.intercept_methods(make_int8_interceptor(cfg)):
+                outs[mxu] = np.asarray(model.apply(v, x, train=False))
+        np.testing.assert_array_equal(outs[True], outs[False])
