@@ -83,6 +83,13 @@ class FusedAttention(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
 
+    def proj(self, x, w, b):
+        """One attention projection (QKV-fused or output) as a plain
+        matmul. A real method (not inlined) so ``nn.intercept_methods``
+        consumers — the int8 PTQ tier (``quant.py``) — can swap in a
+        quantized GEMM without duplicating the attention body."""
+        return x @ w.astype(self.dtype) + b.astype(self.dtype)
+
     @nn.compact
     def __call__(self, x, n_valid: int = 0):
         b, t, d = x.shape
@@ -96,7 +103,7 @@ class FusedAttention(nn.Module):
         wqkv = jnp.concatenate(
             [w.reshape(d, d) for w in (wq, wk, wv)], axis=1)
         bqkv = jnp.concatenate([bb.reshape(d) for bb in (bq, bk, bv)])
-        qkv = x @ wqkv.astype(self.dtype) + bqkv.astype(self.dtype)
+        qkv = self.proj(x, wqkv, bqkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, t, h, hd) * (float(hd) ** -0.5)
         k = k.reshape(b, t, h, hd)
@@ -108,7 +115,7 @@ class FusedAttention(nn.Module):
             logits = jnp.where(mask, logits, jnp.asarray(-1e9, logits.dtype))
         attn = jax.nn.softmax(logits, axis=-1)
         y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
-        return y @ wo.reshape(d, d).astype(self.dtype) + bo.astype(self.dtype)
+        return self.proj(y, wo.reshape(d, d), bo)
 
 
 class EncoderBlock(nn.Module):

@@ -32,10 +32,10 @@ model in the zoo — no model rewrites, identical parameter trees, works for
 ported timm checkpoints. Ineligible (kept fp32): grouped/depthwise convs
 (no MXU contraction to win back), layers whose contraction is below
 ``min_contraction`` (scale/zero-point overhead dominates), the final
-classifier (``fc``, standard PTQ practice), and anything that is not an
-``nn.Conv``/``nn.Dense`` module — notably the ViT fused-QKV attention
-matmuls and the NFP/lacunarity/fractal pooling ops, which stay in their
-fp32/bf16 forms.
+classifier (``fc``, standard PTQ practice), and the texture pooling ops
+(NFP/lacunarity/fractal), which stay in their fp32/bf16 forms. The ViT
+fused-QKV and output projections quantize through the interceptable
+``FusedAttention.proj`` method; only QKᵀ and softmax·V stay float.
 """
 
 from __future__ import annotations
@@ -226,6 +226,27 @@ def _dense_int8(mod: nn.Dense, x: jax.Array,
     return y.astype(x.dtype)
 
 
+def _attn_proj_int8(mod, x: jax.Array, w: jax.Array, b: jax.Array,
+                    cfg: QuantConfig) -> jax.Array:
+    """int8 twin of ``FusedAttention.proj`` (QKV-fused / output matmul).
+
+    Per-output-column weight scales, per-tensor dynamic activation scale,
+    exact s32 accumulation; the attention body (QKᵀ, softmax·V) stays in
+    the float dtype for accuracy.
+    """
+    wq, ws = _quantize(w, axes=(0,))
+    xq, xs = _quantize(x)
+    if cfg._mxu():
+        acc = int8_gemm(xq.reshape(-1, x.shape[-1]), wq)
+        acc = acc.reshape(x.shape[:-1] + (w.shape[-1],))
+    else:
+        acc = lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (xs * ws.reshape(-1))
+    y = y + b.astype(jnp.float32)
+    return y.astype(mod.dtype)
+
+
 def make_int8_interceptor(config: Optional[QuantConfig] = None,
                           replaced: Optional[list] = None):
     """Build an interceptor for ``nn.intercept_methods``.
@@ -234,6 +255,8 @@ def make_int8_interceptor(config: Optional[QuantConfig] = None,
     interceptor actually quantized (trace-time; useful for tests and
     coverage reports).
     """
+    from .models.backbones.vit import FusedAttention
+
     cfg = config or QuantConfig()
 
     def _skipped(mod) -> bool:
@@ -242,6 +265,12 @@ def make_int8_interceptor(config: Optional[QuantConfig] = None,
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
+        if (type(mod) is FusedAttention and context.method_name == "proj"
+                and len(args) == 3 and not _skipped(mod)
+                and args[0].shape[-1] >= cfg.min_contraction):
+            if replaced is not None:
+                replaced.append(tuple(mod.path) + ("proj",))
+            return _attn_proj_int8(mod, *args, cfg=cfg)
         if (context.method_name != "__call__" or not args
                 or not isinstance(args[0], jax.Array) or _skipped(mod)):
             return next_fun(*args, **kwargs)

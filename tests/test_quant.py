@@ -294,3 +294,36 @@ class TestMXUGemmRoute:
             with nn.intercept_methods(make_int8_interceptor(cfg)):
                 outs[mxu] = np.asarray(model.apply(v, x, train=False))
         np.testing.assert_array_equal(outs[True], outs[False])
+
+    def test_vit_attention_projections_intercepted(self):
+        """FusedAttention.proj (QKV-fused + out matmuls) quantizes via the
+        method interceptor: 12 blocks x 2 projections on ViT-Tiny."""
+        from neighbour_feature_pooling_tpu.models import get_model
+
+        model = get_model("vittiny", "gap_only", 3)
+        x = jnp.asarray(np.random.default_rng(3)
+                        .standard_normal((1, 64, 64, 3)), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        ref = np.asarray(model.apply(v, x, train=False))
+        replaced = []
+        with nn.intercept_methods(make_int8_interceptor(QuantConfig(),
+                                                        replaced)):
+            got = np.asarray(model.apply(v, x, train=False))
+        proj = [p for p in replaced if p[-1] == "proj"]
+        assert len(proj) == 24
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.12, rel
+
+    def test_vit_proj_mxu_route_bit_identical(self):
+        from neighbour_feature_pooling_tpu.models import get_model
+
+        model = get_model("vittiny", "gap_only", 3)
+        x = jnp.asarray(np.random.default_rng(4)
+                        .standard_normal((1, 32, 32, 3)), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        outs = {}
+        for mxu in (False, True):
+            cfg = QuantConfig(use_mxu_gemm=mxu)
+            with nn.intercept_methods(make_int8_interceptor(cfg)):
+                outs[mxu] = np.asarray(model.apply(v, x, train=False))
+        np.testing.assert_array_equal(outs[True], outs[False])
