@@ -21,10 +21,16 @@ produced at width ``Wp``; the ``Wo..Wp`` columns are garbage from row
 wrap-around and are sliced off on the host. Extra MXU work ≈ ``Wp/Wo``
 (+4% at 56², +7% at 28²).
 
-Grid ``(B, Cout/TCout)``: each step owns one image's flattened rows and
-one output-channel tile; the 9 taps accumulate in registers/VMEM as one
-s32 value. Stride 1, dilation 1, groups 1 (everything else stays on the
-XLA conv path — ``quant.py`` routes only eligible layers here).
+Grid ``(B/TB, Cout/TCout)``: each step owns ``TB`` images packed along
+the flattened row axis (so a 7×7×512 map still feeds the MXU thousands
+of rows per tap) and one output-channel tile; the taps accumulate in
+registers/VMEM as one s32 value. Tap reads that run past an image's
+rows land in the next image's region — they only feed that image's
+garbage rows (``o ≥ n_out``), which the host discards. Stride > 1
+lowers to this unit-stride kernel via an exact space-to-depth rewrite
+(phases→channels, taps scattered); dilation 1, groups 1 (everything
+else stays on the XLA conv path — ``quant.py`` routes only eligible
+layers here).
 
 The reference has no analog (no quantization story at all; its serving
 surface stops at ``trainer.test``, ``/root/reference/demo.py:427``).
@@ -47,14 +53,18 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _round_up(x: int, m: int) -> int:
+    return x + (-x) % m
+
+
 def _conv_kernel(x_ref, w_ref, o_ref, *, kh: int, kw: int, wp: int,
-                 n_out: int):
-    x = x_ref[0]                      # (Npad, Cin) s8
+                 n_rows: int):
+    x = x_ref[0]                      # (n_rows + P, Cin) s8
     acc = None
     for dy in range(kh):
         for dx in range(kw):
             p = dy * wp + dx
-            a = x[p:p + n_out, :]     # contiguous rows
+            a = x[p:p + n_rows, :]    # contiguous rows, all TB images
             d = jnp.dot(a, w_ref[dy, dx],
                         preferred_element_type=jnp.int32)
             acc = d if acc is None else acc + d
@@ -62,28 +72,32 @@ def _conv_kernel(x_ref, w_ref, o_ref, *, kh: int, kw: int, wp: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kh", "kw", "wp", "n_out", "tcout",
+                   static_argnames=("kh", "kw", "wp", "tcout",
                                     "interpret"))
-def _conv_flat(xf: jax.Array, w: jax.Array, kh: int, kw: int, wp: int,
-               n_out: int, tcout: int, interpret: bool) -> jax.Array:
-    b, npad, cin = xf.shape
+def _conv_flat(xg: jax.Array, w: jax.Array, kh: int, kw: int, wp: int,
+               tcout: int, interpret: bool) -> jax.Array:
+    """``xg``: (groups, TB·npad + P, Cin) packed padded rows. Returns
+    (groups, TB·npad, Cout) — per-image garbage rows still in place."""
+    g, rows, cin = xg.shape
     cout = w.shape[-1]
+    pmax = (kh - 1) * wp + (kw - 1)
+    n_rows = rows - _round_up(pmax, 32)
     kern = functools.partial(_conv_kernel, kh=kh, kw=kw, wp=wp,
-                             n_out=n_out)
+                             n_rows=n_rows)
     return pl.pallas_call(
         kern,
-        grid=(b, cout // tcout),
+        grid=(g, cout // tcout),
         in_specs=[
-            pl.BlockSpec((1, npad, cin), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, rows, cin), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((kh, kw, cin, tcout),
                          lambda i, j: (0, 0, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, n_out, tcout), lambda i, j: (i, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((b, n_out, cout), jnp.int32),
+        out_specs=pl.BlockSpec((1, n_rows, tcout), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((g, n_rows, cout), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(xf, w)
+    )(xg, w)
 
 
 def _resolve_pads(padding, kh: int, kw: int, h: int, wdt: int,
@@ -143,13 +157,17 @@ def _space_to_depth(x: jax.Array, w: jax.Array, pads,
 def int8_conv2d(x: jax.Array, w: jax.Array,
                 padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
                 strides: Tuple[int, int] = (1, 1),
-                tcout: Optional[int] = None) -> jax.Array:
+                tcout: Optional[int] = None,
+                batch_tile: Optional[int] = None) -> jax.Array:
     """``(B,H,W,Cin) s8 ⊛ (Kh,Kw,Cin,Cout) s8 → (B,Ho,Wo,Cout) s32``.
 
     Dilation-1, single-group NHWC/HWIO conv with exact int32 accumulation
     on the MXU's int8 mode. ``padding`` is ``"SAME"``, ``"VALID"`` or
     explicit ``((top,bot),(left,right))``. Strides > 1 are lowered to the
     unit-stride kernel through an exact space-to-depth rewrite.
+    ``batch_tile`` (default: auto) packs that many images into each grid
+    step so small feature maps still feed the MXU thousands of GEMM rows
+    per tap. ``tcout`` overrides the output-channel tile.
     """
     if x.dtype != jnp.int8 or w.dtype != jnp.int8:
         raise TypeError(f"int8_conv2d needs int8 operands, got "
@@ -164,7 +182,8 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
     pads = _resolve_pads(padding, kh, kw, h, wdt, strides)
     if strides != (1, 1):
         x2, w2, ho, wo = _space_to_depth(x, w, pads, strides)
-        out = int8_conv2d(x2, w2, padding="VALID", tcout=tcout)
+        out = int8_conv2d(x2, w2, padding="VALID", tcout=tcout,
+                          batch_tile=batch_tile)
         return out[:, :ho, :wo, :]
     hp = h + pads[0][0] + pads[0][1]
     wp = wdt + pads[1][0] + pads[1][1]
@@ -174,23 +193,47 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
         raise ValueError("empty output")
 
     n_out = ho * wp                       # rows produced at width Wp
-    npad = n_out + (kh - 1) * wp + (kw - 1)   # max slice end
-    xpad = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
-    xf = xpad.reshape(b, hp * wp, cin)
-    if npad > hp * wp:
-        xf = jnp.pad(xf, ((0, 0), (0, npad - hp * wp), (0, 0)))
-    tc = tcout or _default_tcout(cout, n_out, cin)
+    pmax = (kh - 1) * wp + (kw - 1)       # largest tap row offset
+    # per-image padded row count: covers every tap read, 32-aligned so
+    # the packed (TB, npad, Cin) -> (TB*npad, Cin) collapse keeps tiling
+    npad = _round_up(n_out + pmax, 32)
+    tb = batch_tile or _default_tb(b, npad, cin, cout)
+    tc = tcout or _default_tcout(cout, tb * npad, cin)
     if cout % tc:
         raise ValueError(f"tcout {tc} must divide Cout {cout}")
-    acc = _conv_flat(xf, w, kh, kw, wp, n_out, tc,
-                     interpret=_use_interpret())
+    if b % tb:
+        raise ValueError(f"batch_tile {tb} must divide B {b}")
+
+    xpad = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    xf = xpad.reshape(b, hp * wp, cin)
+    xf = jnp.pad(xf, ((0, 0), (0, npad - hp * wp), (0, 0)))
+    # pack TB images per grid step + a tap-overhang tail of zero rows;
+    # tap reads that cross into the next image only feed that image's
+    # garbage rows (o >= n_out), discarded below
+    xg = xf.reshape(b // tb, tb * npad, cin)
+    xg = jnp.pad(xg, ((0, 0), (0, _round_up(pmax, 32)), (0, 0)))
+    acc = _conv_flat(xg, w, kh, kw, wp, tc, interpret=_use_interpret())
+    acc = acc.reshape(b, npad, cout)[:, :n_out]
     acc = acc.reshape(b, ho, wp, cout)
     return acc[:, :, :wo, :]
 
 
-def _default_tcout(cout: int, n_out: int, cin: int) -> int:
-    """Bound the VMEM accumulator (~n_out × tcout × 4B) near 2 MB."""
+def _default_tb(b: int, npad: int, cin: int, cout: int) -> int:
+    """Largest batch pack (divisor of B) keeping the s32 accumulator
+    near 2 MB — small maps pack many images so each tap is one big GEMM."""
+    tb = 1
+    for cand in range(1, b + 1):
+        if b % cand:
+            continue
+        if cand * npad * min(cout, 256) * 4 > 2 * 1024 * 1024:
+            break
+        tb = cand
+    return tb
+
+
+def _default_tcout(cout: int, rows: int, cin: int) -> int:
+    """Bound the VMEM accumulator (~rows × tcout × 4B) near 2 MB."""
     tc = cout
-    while tc > 128 and n_out * tc * 4 > 2 * 1024 * 1024:
+    while tc > 128 and rows * tc * 4 > 2 * 1024 * 1024:
         tc //= 2
     return tc

@@ -100,3 +100,22 @@ def test_int8_conv_asymmetric_strides():
         x, w, window_strides=(2, 1), padding="SAME",
         dimension_numbers=dn, preferred_element_type=jnp.int32)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("tb", [1, 2, 4])
+def test_int8_conv_batch_packing_exact(tb):
+    """TB images packed per grid step == per-image results, exactly
+    (cross-image tap reads only feed discarded garbage rows)."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.integers(-127, 128, (4, 7, 7, 16)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 16, 8)), jnp.int8)
+    got = int8_conv2d(x, w, padding="SAME", batch_tile=tb)
+    want = _ref(x, w, [(1, 1), (1, 1)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_batch_tile_must_divide():
+    x = jnp.zeros((3, 7, 7, 8), jnp.int8)
+    w = jnp.zeros((3, 3, 8, 8), jnp.int8)
+    with pytest.raises(ValueError):
+        int8_conv2d(x, w, batch_tile=2)
