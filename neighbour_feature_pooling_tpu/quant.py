@@ -184,7 +184,10 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
         acc = int8_gemm(xsub.reshape(-1, in_features),
                         wq.reshape(in_features, mod.features))
         acc = acc.reshape(xsub.shape[:-1] + (mod.features,))
-    elif cfg._mxu() and nd == 2:
+    elif (cfg._mxu() and nd == 2
+          and in_features * strides[0] * strides[1] >= 32):
+        # thin-channel layers (the RGB stem even after the s2d stride
+        # rewrite) would waste MXU lanes — those keep the XLA conv
         pad = (mod.padding if isinstance(mod.padding, str)
                else _canon_padding(mod.padding, nd))
         acc = int8_conv2d(xq, wq, padding=pad, strides=strides)
