@@ -71,33 +71,69 @@ def _conv_kernel(x_ref, w_ref, o_ref, *, kh: int, kw: int, wp: int,
     o_ref[0] = acc
 
 
+def _conv_kernel_fused(x_ref, w_ref, s_ref, b_ref, o_ref, *, kh: int,
+                       kw: int, wp: int, n_rows: int):
+    """Same accumulation + dequant epilogue: the s32 tile never leaves
+    VMEM — output is ``acc·scale + bias`` in the float dtype (half the
+    HBM write of the s32 form, and no separate dequant pass)."""
+    x = x_ref[0]
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            p = dy * wp + dx
+            a = x[p:p + n_rows, :]
+            d = jnp.dot(a, w_ref[dy, dx],
+                        preferred_element_type=jnp.int32)
+            acc = d if acc is None else acc + d
+    y = acc.astype(jnp.float32) * s_ref[0] + b_ref[0]
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kh", "kw", "wp", "tcout",
-                                    "interpret"))
+                                    "out_dtype", "interpret"))
 def _conv_flat(xg: jax.Array, w: jax.Array, kh: int, kw: int, wp: int,
-               tcout: int, interpret: bool) -> jax.Array:
+               tcout: int, interpret: bool,
+               scale: Optional[jax.Array] = None,
+               bias: Optional[jax.Array] = None,
+               out_dtype=None) -> jax.Array:
     """``xg``: (groups, TB·npad + P, Cin) packed padded rows. Returns
-    (groups, TB·npad, Cout) — per-image garbage rows still in place."""
+    (groups, TB·npad, Cout) — per-image garbage rows still in place.
+    With ``scale`` (per-Cout f32), dequant fuses into the kernel flush
+    and the output is ``out_dtype`` instead of s32."""
     g, rows, cin = xg.shape
     cout = w.shape[-1]
     pmax = (kh - 1) * wp + (kw - 1)
     n_rows = rows - _round_up(pmax, 32)
-    kern = functools.partial(_conv_kernel, kh=kh, kw=kw, wp=wp,
-                             n_rows=n_rows)
+    in_specs = [
+        pl.BlockSpec((1, rows, cin), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((kh, kw, cin, tcout), lambda i, j: (0, 0, 0, j)),
+    ]
+    if scale is None:
+        kern = functools.partial(_conv_kernel, kh=kh, kw=kw, wp=wp,
+                                 n_rows=n_rows)
+        args = (xg, w)
+        odt = jnp.int32
+    else:
+        kern = functools.partial(_conv_kernel_fused, kh=kh, kw=kw, wp=wp,
+                                 n_rows=n_rows)
+        vec = pl.BlockSpec((1, tcout), lambda i, j: (0, j))
+        in_specs += [vec, vec]
+        if bias is None:
+            bias = jnp.zeros((cout,), jnp.float32)
+        args = (xg, w, scale.reshape(1, cout).astype(jnp.float32),
+                bias.reshape(1, cout).astype(jnp.float32))
+        odt = out_dtype or jnp.float32
     return pl.pallas_call(
         kern,
         grid=(g, cout // tcout),
-        in_specs=[
-            pl.BlockSpec((1, rows, cin), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((kh, kw, cin, tcout),
-                         lambda i, j: (0, 0, 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n_rows, tcout), lambda i, j: (i, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((g, n_rows, cout), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((g, n_rows, cout), odt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(xg, w)
+    )(*args)
 
 
 def _resolve_pads(padding, kh: int, kw: int, h: int, wdt: int,
@@ -158,7 +194,10 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
                 padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
                 strides: Tuple[int, int] = (1, 1),
                 tcout: Optional[int] = None,
-                batch_tile: Optional[int] = None) -> jax.Array:
+                batch_tile: Optional[int] = None,
+                scale: Optional[jax.Array] = None,
+                bias: Optional[jax.Array] = None,
+                out_dtype=None) -> jax.Array:
     """``(B,H,W,Cin) s8 ⊛ (Kh,Kw,Cin,Cout) s8 → (B,Ho,Wo,Cout) s32``.
 
     Dilation-1, single-group NHWC/HWIO conv with exact int32 accumulation
@@ -168,6 +207,11 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
     ``batch_tile`` (default: auto) packs that many images into each grid
     step so small feature maps still feed the MXU thousands of GEMM rows
     per tap. ``tcout`` overrides the output-channel tile.
+
+    ``scale`` (per-Cout f32, typically ``act_scale · weight_scales``)
+    fuses the dequant epilogue into the kernel: the s32 accumulator never
+    reaches HBM and the result is ``acc·scale + bias`` in ``out_dtype``
+    (default f32) — half the output write traffic of the s32 form.
     """
     if x.dtype != jnp.int8 or w.dtype != jnp.int8:
         raise TypeError(f"int8_conv2d needs int8 operands, got "
@@ -183,7 +227,8 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
     if strides != (1, 1):
         x2, w2, ho, wo = _space_to_depth(x, w, pads, strides)
         out = int8_conv2d(x2, w2, padding="VALID", tcout=tcout,
-                          batch_tile=batch_tile)
+                          batch_tile=batch_tile, scale=scale, bias=bias,
+                          out_dtype=out_dtype)
         return out[:, :ho, :wo, :]
     hp = h + pads[0][0] + pads[0][1]
     wp = wdt + pads[1][0] + pads[1][1]
@@ -212,7 +257,8 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
     # garbage rows (o >= n_out), discarded below
     xg = xf.reshape(b // tb, tb * npad, cin)
     xg = jnp.pad(xg, ((0, 0), (0, _round_up(pmax, 32)), (0, 0)))
-    acc = _conv_flat(xg, w, kh, kw, wp, tc, interpret=_use_interpret())
+    acc = _conv_flat(xg, w, kh, kw, wp, tc, interpret=_use_interpret(),
+                     scale=scale, bias=bias, out_dtype=out_dtype)
     acc = acc.reshape(b, npad, cout)[:, :n_out]
     acc = acc.reshape(b, ho, wp, cout)
     return acc[:, :, :wo, :]

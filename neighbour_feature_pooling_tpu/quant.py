@@ -187,10 +187,15 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
     elif (cfg._mxu() and nd == 2
           and in_features * strides[0] * strides[1] >= 32):
         # thin-channel layers (the RGB stem even after the s2d stride
-        # rewrite) would waste MXU lanes — those keep the XLA conv
+        # rewrite) would waste MXU lanes — those keep the XLA conv.
+        # Dequant + bias fuse into the kernel flush: the s32 accumulator
+        # never reaches HBM.
         pad = (mod.padding if isinstance(mod.padding, str)
                else _canon_padding(mod.padding, nd))
-        acc = int8_conv2d(xq, wq, padding=pad, strides=strides)
+        return int8_conv2d(
+            xq, wq, padding=pad, strides=strides,
+            scale=(xs * ws).reshape(-1), bias=bias,
+            out_dtype=x.dtype).astype(x.dtype)
     else:
         dn = lax.conv_dimension_numbers(x.shape, kshape,
                                         ("NHWC", "HWIO", "NHWC"))

@@ -119,3 +119,32 @@ def test_int8_conv_batch_tile_must_divide():
     w = jnp.zeros((3, 3, 8, 8), jnp.int8)
     with pytest.raises(ValueError):
         int8_conv2d(x, w, batch_tile=2)
+
+
+def test_int8_conv_fused_dequant_epilogue():
+    """scale/bias fused into the kernel == dequantizing the s32 output."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.integers(-127, 128, (2, 8, 8, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 16)), jnp.int8)
+    scale = jnp.asarray(rng.random(16) * 0.01 + 1e-4, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    fused = int8_conv2d(x, w, padding="SAME", scale=scale, bias=bias)
+    s32 = int8_conv2d(x, w, padding="SAME")
+    want = s32.astype(jnp.float32) * scale + bias
+    assert fused.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_int8_conv_fused_epilogue_strided_bf16():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.integers(-127, 128, (2, 8, 8, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 16)), jnp.int8)
+    scale = jnp.full((16,), 2e-3, jnp.float32)
+    fused = int8_conv2d(x, w, padding="SAME", strides=(2, 2),
+                        scale=scale, out_dtype=jnp.bfloat16)
+    s32 = int8_conv2d(x, w, padding="SAME", strides=(2, 2))
+    want = (s32.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    assert fused.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(fused.astype(jnp.float32)),
+                                  np.asarray(want.astype(jnp.float32)))
