@@ -44,6 +44,24 @@ def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, k_steps: int):
         o_ref[:] = acc_ref[:]
 
 
+def _gemm_kernel_fused(a_ref, b_ref, s_ref, bias_ref, o_ref, acc_ref, *,
+                       k_steps: int):
+    """K-accumulating GEMM + dequant epilogue: the flush emits
+    ``acc·scale + bias`` in the float dtype — the s32 tile never leaves
+    VMEM (half the HBM write of the s32 form, no separate dequant pass)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(a_ref[:], b_ref[:],
+                          preferred_element_type=jnp.int32)
+
+    @pl.when(pl.program_id(2) == k_steps - 1)
+    def _flush():
+        y = acc_ref[:].astype(jnp.float32) * s_ref[0] + bias_ref[0]
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
 def _pad_to(x: jax.Array, mult: Tuple[int, int]) -> jax.Array:
     pm = (-x.shape[0]) % mult[0]
     pn = (-x.shape[1]) % mult[1]
@@ -56,37 +74,62 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "tk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "tk",
+                                             "out_dtype", "interpret"))
 def _int8_gemm_padded(a: jax.Array, b: jax.Array,
                       tm: int, tn: int, tk: int,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      scale: Optional[jax.Array] = None,
+                      bias: Optional[jax.Array] = None,
+                      out_dtype=None) -> jax.Array:
     m, k = a.shape
     _, n = b.shape
     k_steps = k // tk
-    kern = functools.partial(_gemm_kernel, k_steps=k_steps)
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk)),
+        pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j)),
+    ]
+    if scale is None:
+        kern = functools.partial(_gemm_kernel, k_steps=k_steps)
+        args = (a, b)
+        odt = jnp.int32
+    else:
+        kern = functools.partial(_gemm_kernel_fused, k_steps=k_steps)
+        vec = pl.BlockSpec((1, tn), lambda i, j, kk: (0, j))
+        in_specs += [vec, vec]
+        if bias is None:
+            bias = jnp.zeros((n,), jnp.float32)
+        args = (a, b, scale.reshape(1, n).astype(jnp.float32),
+                bias.reshape(1, n).astype(jnp.float32))
+        odt = out_dtype or jnp.float32
     return pl.pallas_call(
         kern,
         grid=(m // tm, n // tn, k_steps),
-        in_specs=[
-            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(a, b)
+    )(*args)
 
 
 def int8_gemm(a: jax.Array, b: jax.Array,
-              tiles: Optional[Tuple[int, int, int]] = None) -> jax.Array:
+              tiles: Optional[Tuple[int, int, int]] = None,
+              scale: Optional[jax.Array] = None,
+              bias: Optional[jax.Array] = None,
+              out_dtype=None) -> jax.Array:
     """``(M, K) int8 × (K, N) int8 → (M, N) int32`` on the MXU int8 mode.
 
     Shapes need not be tile-aligned; inputs are zero-padded (zeros
     contribute nothing to the s32 accumulation) and the output sliced
     back. ``tiles=(TM, TN, TK)`` overrides the default tiling.
+
+    ``scale`` (per-N f32, typically ``act_scale · weight_scales``) fuses
+    the dequant epilogue into the kernel flush: the result is
+    ``acc·scale + bias`` in ``out_dtype`` (default f32) and the s32
+    accumulator never reaches HBM.
     """
     if a.dtype != jnp.int8 or b.dtype != jnp.int8:
         raise TypeError(f"int8_gemm needs int8 operands, got "
@@ -98,7 +141,13 @@ def int8_gemm(a: jax.Array, b: jax.Array,
     tm, tn, tk = tiles or _default_tiles(m, n, k)
     ap = _pad_to(a, (tm, tk))
     bp = _pad_to(b, (tk, tn))
-    out = _int8_gemm_padded(ap, bp, tm, tn, tk, interpret=_use_interpret())
+    if scale is not None:
+        pn = bp.shape[1] - n
+        scale = jnp.pad(scale.reshape(-1).astype(jnp.float32), (0, pn))
+        if bias is not None:
+            bias = jnp.pad(bias.reshape(-1).astype(jnp.float32), (0, pn))
+    out = _int8_gemm_padded(ap, bp, tm, tn, tk, interpret=_use_interpret(),
+                            scale=scale, bias=bias, out_dtype=out_dtype)
     if out.shape != (m, n):
         out = out[:m, :n]
     return out

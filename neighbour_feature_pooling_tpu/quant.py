@@ -181,9 +181,11 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
             and _is_zero_padding(mod.padding, ksize)):
         sub = (slice(None),) + tuple(slice(None, None, s) for s in strides)
         xsub = xq[sub]
-        acc = int8_gemm(xsub.reshape(-1, in_features),
-                        wq.reshape(in_features, mod.features))
-        acc = acc.reshape(xsub.shape[:-1] + (mod.features,))
+        y = int8_gemm(xsub.reshape(-1, in_features),
+                      wq.reshape(in_features, mod.features),
+                      scale=(xs * ws).reshape(-1), bias=bias,
+                      out_dtype=x.dtype)
+        return y.reshape(xsub.shape[:-1] + (mod.features,))
     elif (cfg._mxu() and nd == 2
           and in_features * strides[0] * strides[1] >= 32):
         # thin-channel layers (the RGB stem even after the s2d stride
@@ -223,11 +225,12 @@ def _dense_int8(mod: nn.Dense, x: jax.Array,
     wq, ws = _quantize(kernel, axes=(0,))
     xq, xs = _quantize(x)
     if cfg._mxu():
-        acc = int8_gemm(xq.reshape(-1, in_features), wq)
-        acc = acc.reshape(x.shape[:-1] + (mod.features,))
-    else:
-        acc = lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
+        y = int8_gemm(xq.reshape(-1, in_features), wq,
+                      scale=(xs * ws).reshape(-1), bias=bias,
+                      out_dtype=x.dtype)
+        return y.reshape(x.shape[:-1] + (mod.features,))
+    acc = lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (xs * ws.reshape(-1))
     if bias is not None:
         y = y + bias.astype(jnp.float32)
@@ -245,11 +248,12 @@ def _attn_proj_int8(mod, x: jax.Array, w: jax.Array, b: jax.Array,
     wq, ws = _quantize(w, axes=(0,))
     xq, xs = _quantize(x)
     if cfg._mxu():
-        acc = int8_gemm(xq.reshape(-1, x.shape[-1]), wq)
-        acc = acc.reshape(x.shape[:-1] + (w.shape[-1],))
-    else:
-        acc = lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
+        y = int8_gemm(xq.reshape(-1, x.shape[-1]), wq,
+                      scale=(xs * ws).reshape(-1), bias=b,
+                      out_dtype=mod.dtype)
+        return y.reshape(x.shape[:-1] + (w.shape[-1],))
+    acc = lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (xs * ws.reshape(-1))
     y = y + b.astype(jnp.float32)
     return y.astype(mod.dtype)

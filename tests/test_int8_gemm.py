@@ -51,3 +51,34 @@ def test_int8_gemm_rejects_shape_mismatch():
     b = jnp.zeros((8, 8), jnp.int8)
     with pytest.raises(ValueError):
         int8_gemm(a, b)
+
+
+def test_int8_gemm_fused_dequant_epilogue():
+    """scale/bias fused at the flush == dequantizing the s32 output,
+    including unaligned N (scale padded with the operand)."""
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.integers(-127, 128, (40, 96)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, (96, 70)), jnp.int8)
+    scale = jnp.asarray(rng.random(70) * 0.01 + 1e-4, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(70), jnp.float32)
+    fused = int8_gemm(a, b, tiles=(32, 64, 32), scale=scale, bias=bias)
+    s32 = int8_gemm(a, b, tiles=(32, 64, 32))
+    want = s32.astype(jnp.float32) * scale + bias
+    assert fused.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_int8_gemm_fused_bf16_out():
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.integers(-127, 128, (32, 64)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, (64, 128)), jnp.int8)
+    scale = jnp.full((128,), 3e-3, jnp.float32)
+    fused = int8_gemm(a, b, tiles=(32, 128, 64), scale=scale,
+                      out_dtype=jnp.bfloat16)
+    s32 = int8_gemm(a, b, tiles=(32, 128, 64))
+    want = (s32.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    assert fused.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(fused.astype(jnp.float32)),
+        np.asarray(want.astype(jnp.float32)))
