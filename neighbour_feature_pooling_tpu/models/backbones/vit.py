@@ -83,11 +83,12 @@ class FusedAttention(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
 
-    def proj(self, x, w, b):
+    def proj(self, x, w, b, tag="qkv"):
         """One attention projection (QKV-fused or output) as a plain
         matmul. A real method (not inlined) so ``nn.intercept_methods``
         consumers — the int8 PTQ tier (``quant.py``) — can swap in a
-        quantized GEMM without duplicating the attention body."""
+        quantized GEMM without duplicating the attention body. ``tag``
+        disambiguates the two calls per block for calibration keys."""
         return x @ w.astype(self.dtype) + b.astype(self.dtype)
 
     @nn.compact
@@ -103,7 +104,7 @@ class FusedAttention(nn.Module):
         wqkv = jnp.concatenate(
             [w.reshape(d, d) for w in (wq, wk, wv)], axis=1)
         bqkv = jnp.concatenate([bb.reshape(d) for bb in (bq, bk, bv)])
-        qkv = self.proj(x, wqkv, bqkv)
+        qkv = self.proj(x, wqkv, bqkv, tag="qkv")
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, t, h, hd) * (float(hd) ** -0.5)
         k = k.reshape(b, t, h, hd)
@@ -115,7 +116,7 @@ class FusedAttention(nn.Module):
             logits = jnp.where(mask, logits, jnp.asarray(-1e9, logits.dtype))
         attn = jax.nn.softmax(logits, axis=-1)
         y = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
-        return self.proj(y, wo.reshape(d, d), bo)
+        return self.proj(y, wo.reshape(d, d), bo, tag="out")
 
 
 class EncoderBlock(nn.Module):

@@ -72,15 +72,20 @@ class Predictor:
         if self.quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {self.quantize!r}; "
                              "expected None or 'int8'")
+        self._act_scales = None
+        self._build_forward()
+
+    def _build_forward(self):
         if self.quantize == "int8":
             # every eligible Conv/Dense runs s8×s8→s32 on the MXU; the
             # interception happens at trace time, so the jitted function
             # below is permanently the quantized program (see quant.py)
-            from .quant import make_int8_interceptor
+            from .quant import QuantConfig, make_int8_interceptor
 
             import flax.linen as nn
 
-            interceptor = make_int8_interceptor()
+            interceptor = make_int8_interceptor(
+                QuantConfig(act_scales=self._act_scales))
 
             @jax.jit
             def _forward(variables, images):
@@ -95,6 +100,29 @@ class Predictor:
                 return jax.nn.softmax(logits, axis=-1)
 
         self._forward = _forward
+
+    def calibrate(self, images: Sequence[np.ndarray],
+                  preprocessed: bool = False) -> int:
+        """Static activation calibration for the int8 tier.
+
+        Observes ``max|x|`` per quantized layer over the sample images
+        (any count; batched at the compiled batch size) and rebuilds the
+        forward so every layer uses its fixed calibrated scale — removing
+        the dynamic per-batch amax pass (an extra full HBM read of every
+        activation tensor). Returns the number of calibrated layers.
+        """
+        if self.quantize != "int8":
+            raise ValueError("calibrate() requires quantize='int8'")
+        from .quant import calibrate_act_scales
+
+        x = (np.asarray(images, np.float32) if preprocessed
+             else self.preprocess(images))
+        batches = [jnp.asarray(x[i: i + self.batch_size])
+                   for i in range(0, x.shape[0], self.batch_size)]
+        self._act_scales = calibrate_act_scales(
+            self.model, self._variables, batches)
+        self._build_forward()
+        return len(self._act_scales)
 
     def preprocess(self, images: Sequence[np.ndarray]) -> np.ndarray:
         """HWC float arrays in [0,1] (any sizes) → normalized model input."""

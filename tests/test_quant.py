@@ -309,7 +309,7 @@ class TestMXUGemmRoute:
         with nn.intercept_methods(make_int8_interceptor(QuantConfig(),
                                                         replaced)):
             got = np.asarray(model.apply(v, x, train=False))
-        proj = [p for p in replaced if p[-1] == "proj"]
+        proj = [p for p in replaced if p[-1].startswith("proj")]
         assert len(proj) == 24
         rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         assert rel < 0.12, rel
@@ -327,3 +327,103 @@ class TestMXUGemmRoute:
             with nn.intercept_methods(make_int8_interceptor(cfg)):
                 outs[mxu] = np.asarray(model.apply(v, x, train=False))
         np.testing.assert_array_equal(outs[True], outs[False])
+
+
+class TestCalibration:
+    def test_calibrated_scales_cover_all_quantized_layers(self):
+        from neighbour_feature_pooling_tpu.quant import calibrate_act_scales
+
+        x = jnp.asarray(np.random.default_rng(5)
+                        .standard_normal((2, 8, 8, 64)), jnp.float32)
+        m = _GemmRouteModel()
+        v = m.init(jax.random.PRNGKey(0), x)
+        cfg = QuantConfig(min_contraction=1, use_mxu_gemm=False)
+        scales = calibrate_act_scales(m, v, [x], config=cfg,
+                                      apply_kwargs={})
+        replaced = []
+        with nn.intercept_methods(make_int8_interceptor(cfg, replaced)):
+            m.apply(v, x)
+        assert set(scales) == set(replaced)
+        assert all(s > 0 for s in scales.values())
+
+    def test_static_scales_track_dynamic_on_calibration_batch(self):
+        """Static quantization with scales calibrated on the same batch
+        stays close to the dynamic path (not bit-equal: calibration
+        observes FLOAT activations, while dynamic layers see the
+        quantized previous layer's outputs) and close to fp32."""
+        from neighbour_feature_pooling_tpu.quant import (
+            calibrate_act_scales, quantized_apply)
+
+        x = jnp.asarray(np.random.default_rng(6)
+                        .standard_normal((2, 8, 8, 64)), jnp.float32)
+        m = _GemmRouteModel()
+        v = m.init(jax.random.PRNGKey(0), x)
+        base = QuantConfig(min_contraction=1, use_mxu_gemm=False)
+        scales = calibrate_act_scales(m, v, [x], config=base,
+                                      apply_kwargs={})
+        ref = np.asarray(m.apply(v, x))
+        dyn = np.asarray(quantized_apply(m, v, x, config=base))
+        stat = np.asarray(quantized_apply(
+            m, v, x, config=QuantConfig(min_contraction=1,
+                                        use_mxu_gemm=False,
+                                        act_scales=scales)))
+        for got in (dyn, stat):
+            rel = (np.linalg.norm(got - ref) / np.linalg.norm(ref))
+            assert rel < 0.05, rel
+        rel_ds = (np.linalg.norm(dyn - stat) / np.linalg.norm(ref))
+        assert rel_ds < 0.05, rel_ds
+
+    def test_calibration_max_reduces_over_batches(self):
+        from neighbour_feature_pooling_tpu.quant import calibrate_act_scales
+
+        rng = np.random.default_rng(7)
+        small = jnp.asarray(rng.standard_normal((1, 8, 8, 64)) * 0.1,
+                            jnp.float32)
+        big = jnp.asarray(rng.standard_normal((1, 8, 8, 64)) * 3.0,
+                          jnp.float32)
+        m = _GemmRouteModel()
+        v = m.init(jax.random.PRNGKey(0), small)
+        cfg = QuantConfig(min_contraction=1, use_mxu_gemm=False)
+        s_both = calibrate_act_scales(m, v, [small, big], config=cfg,
+                                      apply_kwargs={})
+        s_big = calibrate_act_scales(m, v, [big], config=cfg,
+                                     apply_kwargs={})
+        assert s_both == s_big
+
+    def test_vit_proj_calibration(self):
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.quant import calibrate_act_scales
+
+        model = get_model("vittiny", "gap_only", 3)
+        x = jnp.asarray(np.random.default_rng(8)
+                        .standard_normal((1, 32, 32, 3)), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        scales = calibrate_act_scales(model, v, [x])
+        qkv = [k for k in scales if k[-1] == "proj_qkv"]
+        out = [k for k in scales if k[-1] == "proj_out"]
+        assert len(qkv) == 12 and len(out) == 12
+
+    def test_predictor_calibrate(self):
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        pred = Predictor("resnet18", "gap_only", num_classes=3,
+                         batch_size=4, input_size=32, resize_size=36,
+                         quantize="int8")
+        rng = np.random.default_rng(2)
+        imgs = [rng.random((36, 36, 3)).astype(np.float32)
+                for _ in range(6)]
+        before = pred.predict(imgs)
+        n = pred.calibrate(imgs)
+        assert n >= 15
+        after = pred.predict(imgs)
+        assert after["probabilities"].shape == before["probabilities"].shape
+        assert np.mean(np.abs(after["probabilities"]
+                              - before["probabilities"])) < 0.05
+
+    def test_predictor_calibrate_requires_int8(self):
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        pred = Predictor("resnet18", "gap_only", num_classes=3,
+                         batch_size=2, input_size=32, resize_size=36)
+        with pytest.raises(ValueError):
+            pred.calibrate([np.zeros((36, 36, 3), np.float32)])
