@@ -52,8 +52,8 @@ import flax.linen as nn
 from .ops.int8_conv import int8_conv2d
 from .ops.int8_gemm import int8_gemm
 
-__all__ = ["QuantConfig", "calibrate_act_scales", "make_int8_interceptor",
-           "quantized_apply"]
+__all__ = ["QuantConfig", "build_bn_folding", "calibrate_act_scales",
+           "make_int8_interceptor", "quantized_apply"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,12 +73,17 @@ class QuantConfig:
     ``act_scales``: static activation scales from
     :func:`calibrate_act_scales` (``{layer_key: float}``); layers found
     in the dict skip the dynamic per-batch amax pass.
+    ``bn_folding``: inference BN folding map from
+    :func:`build_bn_folding`; paired convs absorb the BN affine into
+    their dequant epilogue and the BN itself becomes identity — one
+    whole elementwise HBM pass per conv removed.
     """
 
     min_contraction: int = 64
     skip_paths: Tuple[str, ...] = ("fc",)
     use_mxu_gemm: Optional[bool] = None
     act_scales: Optional[dict] = None
+    bn_folding: Optional[dict] = None
 
     def _mxu(self) -> bool:
         if self.use_mxu_gemm is None:
@@ -173,7 +178,9 @@ def _is_zero_padding(pad, ksize) -> bool:
 
 def _conv_int8(mod: nn.Conv, x: jax.Array,
                cfg: Optional[QuantConfig] = None,
-               act_scale: Optional[float] = None) -> jax.Array:
+               act_scale: Optional[float] = None,
+               fold: Optional[Tuple[jax.Array, jax.Array]] = None,
+               ) -> jax.Array:
     """int8 replacement for an eligible ``nn.Conv.__call__``.
 
     Declares the same ``kernel``/``bias`` params (names, shapes, inits) as
@@ -196,13 +203,25 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
     wq, ws = _quantize(kernel, axes=tuple(range(kernel.ndim - 1)))
     xq, xs = _quantize_act(x, act_scale)
     strides = _canon_tuple(mod.strides, nd)
+
+    # dequant epilogue affine: y = acc·scale_vec + bias_vec.  A folded
+    # BatchNorm (build_bn_folding) rides in here — with per-channel
+    # weight scales, folding into the epilogue is numerically equivalent
+    # to folding into the weights, and the BN's HBM pass disappears.
+    scale_vec = (xs * ws).reshape(-1)
+    bias_vec = None if bias is None else bias.astype(jnp.float32)
+    if fold is not None:
+        mult, shift = fold
+        scale_vec = scale_vec * mult
+        bias_vec = shift if bias_vec is None else bias_vec * mult + shift
+
     if (cfg._mxu() and all(k == 1 for k in ksize)
             and _is_zero_padding(mod.padding, ksize)):
         sub = (slice(None),) + tuple(slice(None, None, s) for s in strides)
         xsub = xq[sub]
         y = int8_gemm(xsub.reshape(-1, in_features),
                       wq.reshape(in_features, mod.features),
-                      scale=(xs * ws).reshape(-1), bias=bias,
+                      scale=scale_vec, bias=bias_vec,
                       out_dtype=x.dtype)
         return y.reshape(xsub.shape[:-1] + (mod.features,))
     elif (cfg._mxu() and nd == 2
@@ -215,7 +234,7 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
                else _canon_padding(mod.padding, nd))
         return int8_conv2d(
             xq, wq, padding=pad, strides=strides,
-            scale=(xs * ws).reshape(-1), bias=bias,
+            scale=scale_vec, bias=bias_vec,
             out_dtype=x.dtype).astype(x.dtype)
     else:
         dn = lax.conv_dimension_numbers(x.shape, kshape,
@@ -226,9 +245,9 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
             padding=_canon_padding(mod.padding, nd),
             dimension_numbers=dn,
             preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * (xs * ws.reshape(1, 1, 1, -1))
-    if bias is not None:
-        y = y + bias.astype(jnp.float32)
+    y = acc.astype(jnp.float32) * scale_vec
+    if bias_vec is not None:
+        y = y + bias_vec
     return y.astype(x.dtype)
 
 
@@ -297,6 +316,7 @@ def make_int8_interceptor(config: Optional[QuantConfig] = None,
 
     cfg = config or QuantConfig()
     scales = cfg.act_scales or {}
+    folding = cfg.bn_folding
 
     def _skipped(mod) -> bool:
         path = getattr(mod, "path", ()) or ()
@@ -325,10 +345,21 @@ def make_int8_interceptor(config: Optional[QuantConfig] = None,
                 or not isinstance(args[0], jax.Array) or _skipped(mod)):
             return next_fun(*args, **kwargs)
         x = args[0]
+        if (type(mod) is nn.BatchNorm and folding and observe is None
+                and tuple(mod.path) in folding.get("bns", ())):
+            # (in observe/calibration mode the float graph keeps its BN —
+            # the observed conv inputs then match the folded graph's)
+            if mod.use_running_average is not True:
+                raise ValueError(
+                    "BN folding is inference-only: BatchNorm at "
+                    f"{mod.path} is not in use_running_average mode")
+            return x  # affine absorbed by the preceding conv's epilogue
         if (type(mod) is nn.Conv and x.ndim >= 3
                 and _conv_eligible(mod, x, cfg)):
+            fold = (folding or {}).get("convs", {}).get(tuple(mod.path))
             return _hit(tuple(mod.path), next_fun, args, kwargs,
-                        lambda s: _conv_int8(mod, x, cfg, act_scale=s))
+                        lambda s: _conv_int8(mod, x, cfg, act_scale=s,
+                                             fold=fold))
         if (type(mod) is nn.Dense and x.ndim >= 1
                 and x.shape[-1] >= cfg.min_contraction):
             return _hit(tuple(mod.path), next_fun, args, kwargs,
@@ -376,6 +407,87 @@ def calibrate_act_scales(model: nn.Module, variables,
         for k, v in out.items():
             amaxes[k] = max(amaxes.get(k, 0.0), float(v))
     return {k: max(v, 1e-12) / 127.0 for k, v in amaxes.items()}
+
+
+def build_bn_folding(model: nn.Module, variables, sample: jax.Array,
+                     config: Optional[QuantConfig] = None,
+                     apply_kwargs: Optional[dict] = None) -> dict:
+    """Discover ``Conv → BatchNorm`` pairs and extract folded affines.
+
+    Runs one abstract trace (``jax.eval_shape`` — no compute) recording
+    the call order of quantizer-eligible convs and ``nn.BatchNorm``s; a
+    BN immediately following a conv with matching features is folded:
+    with ``f = γ/√(running_var+ε)`` the conv's dequant epilogue becomes
+    ``acc·(scale·f) + (bias·f + β − mean·f)`` and the BN call turns into
+    identity — deleting one full elementwise HBM pass per conv at
+    inference. Classic deployment-graph folding (TensorRT-style); the
+    reference serves raw training graphs (``/root/reference/demo.py:427``).
+
+    Returns ``{"convs": {conv_key: (mult, shift)}, "bns": {bn_path, …}}``
+    for ``QuantConfig(bn_folding=...)``.
+    """
+    cfg = config or QuantConfig()
+    if apply_kwargs is None:
+        apply_kwargs = {"train": False}
+
+    events = []
+
+    def _skipped(mod) -> bool:
+        path = getattr(mod, "path", ()) or ()
+        return any(comp in cfg.skip_paths for comp in path)
+
+    def observer(next_fun, args, kwargs, context):
+        mod = context.module
+        if (context.method_name == "__call__" and args
+                and hasattr(args[0], "ndim")):
+            if (type(mod) is nn.Conv and args[0].ndim >= 3
+                    and not _skipped(mod)
+                    and _conv_eligible(mod, args[0], cfg)):
+                events.append(("conv", tuple(mod.path), mod.features))
+            elif type(mod) is nn.BatchNorm:
+                events.append(("bn", tuple(mod.path), mod))
+        return next_fun(*args, **kwargs)
+
+    def _traced(v, x):
+        with nn.intercept_methods(observer):
+            return model.apply(v, x, **apply_kwargs)
+
+    jax.eval_shape(_traced, variables, jax.ShapeDtypeStruct(
+        sample.shape, sample.dtype))
+
+    def _lookup(tree, path):
+        for comp in path:
+            if comp not in tree:
+                return None
+            tree = tree[comp]
+        return tree
+
+    convs, bns = {}, set()
+    params = variables.get("params", {})
+    stats = variables.get("batch_stats", {})
+    for prev, ev in zip(events, events[1:]):
+        if prev[0] != "conv" or ev[0] != "bn":
+            continue
+        _, conv_key, features = prev
+        _, bn_path, bn_mod = ev
+        bn_params = _lookup(params, bn_path) or {}
+        bn_stats = _lookup(stats, bn_path)
+        if bn_stats is None or "mean" not in bn_stats:
+            continue
+        mean = jnp.asarray(bn_stats["mean"], jnp.float32)
+        var = jnp.asarray(bn_stats["var"], jnp.float32)
+        if mean.shape != (features,):
+            continue
+        gamma = jnp.asarray(bn_params.get("scale",
+                                          jnp.ones((features,))),
+                            jnp.float32)
+        beta = jnp.asarray(bn_params.get("bias",
+                                         jnp.zeros((features,))),
+                           jnp.float32)
+        f = gamma / jnp.sqrt(var + bn_mod.epsilon)
+        convs[conv_key] = (f, beta - mean * f)
+        bns.add(bn_path)
+    return {"convs": convs, "bns": bns}
 
 
 def quantized_apply(model: nn.Module, variables, *args,

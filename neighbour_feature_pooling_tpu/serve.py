@@ -48,6 +48,8 @@ class Predictor:
     transform: Optional[TransformConfig] = None
     model_kwargs: Optional[Dict] = None
     quantize: Optional[str] = None        # None (fp32) | "int8"
+    fold_bn: bool = True                  # int8 only: fold inference BNs
+    #                                       into the conv dequant epilogue
 
     def __post_init__(self):
         self.model = get_model(self.model_type, self.model_variant,
@@ -80,12 +82,21 @@ class Predictor:
             # every eligible Conv/Dense runs s8×s8→s32 on the MXU; the
             # interception happens at trace time, so the jitted function
             # below is permanently the quantized program (see quant.py)
-            from .quant import QuantConfig, make_int8_interceptor
+            from .quant import (QuantConfig, build_bn_folding,
+                                make_int8_interceptor)
 
             import flax.linen as nn
 
+            folding = None
+            if self.fold_bn:
+                dummy = jnp.zeros(
+                    (self.batch_size, self.input_size, self.input_size,
+                     self.num_input_channels), jnp.float32)
+                folding = build_bn_folding(self.model, self._variables,
+                                           dummy)
             interceptor = make_int8_interceptor(
-                QuantConfig(act_scales=self._act_scales))
+                QuantConfig(act_scales=self._act_scales,
+                            bn_folding=folding))
 
             @jax.jit
             def _forward(variables, images):

@@ -427,3 +427,67 @@ class TestCalibration:
                          batch_size=2, input_size=32, resize_size=36)
         with pytest.raises(ValueError):
             pred.calibrate([np.zeros((36, 36, 3), np.float32)])
+
+
+class TestBNFolding:
+    def _setup_resnet(self):
+        from neighbour_feature_pooling_tpu.models import get_model
+
+        model = get_model("resnet18", "gap_only", 3)
+        x = jnp.asarray(np.random.default_rng(9)
+                        .standard_normal((2, 32, 32, 3)), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        return model, v, x
+
+    def test_pairs_discovered_on_resnet18(self):
+        from neighbour_feature_pooling_tpu.quant import build_bn_folding
+
+        model, v, x = self._setup_resnet()
+        folding = build_bn_folding(model, v, x)
+        # every eligible conv in the resnet18 body is conv->BN
+        assert len(folding["convs"]) >= 15
+        assert len(folding["bns"]) == len(folding["convs"])
+        mult, shift = next(iter(folding["convs"].values()))
+        assert mult.shape == shift.shape and mult.ndim == 1
+
+    def test_folded_matches_unfolded_quantized(self):
+        """Folding the BN affine into the conv epilogue == running the BN
+        after the quantized conv (same math, reassociated)."""
+        from neighbour_feature_pooling_tpu.quant import (
+            build_bn_folding, quantized_apply)
+
+        model, v, x = self._setup_resnet()
+        base = QuantConfig(use_mxu_gemm=False)
+        folding = build_bn_folding(model, v, x, config=base)
+        plain = np.asarray(quantized_apply(model, v, x, train=False,
+                                           config=base))
+        folded = np.asarray(quantized_apply(
+            model, v, x, train=False,
+            config=QuantConfig(use_mxu_gemm=False, bn_folding=folding)))
+        np.testing.assert_allclose(folded, plain, rtol=2e-4, atol=2e-5)
+
+    def test_folded_mxu_route_matches_xla_route(self):
+        from neighbour_feature_pooling_tpu.quant import (
+            build_bn_folding, quantized_apply)
+
+        model, v, x = self._setup_resnet()
+        folding = build_bn_folding(model, v, x)
+        outs = {}
+        for mxu in (False, True):
+            cfg = QuantConfig(use_mxu_gemm=mxu, bn_folding=folding)
+            outs[mxu] = np.asarray(quantized_apply(model, v, x,
+                                                   train=False,
+                                                   config=cfg))
+        np.testing.assert_array_equal(outs[True], outs[False])
+
+    def test_folding_refuses_training_mode(self):
+        from neighbour_feature_pooling_tpu.quant import (
+            build_bn_folding, quantized_apply)
+
+        model, v, x = self._setup_resnet()
+        folding = build_bn_folding(model, v, x)
+        cfg = QuantConfig(use_mxu_gemm=False, bn_folding=folding)
+        with pytest.raises(ValueError, match="inference-only"):
+            quantized_apply(model, v, x, train=True, config=cfg,
+                            rngs={"dropout": jax.random.PRNGKey(0)},
+                            mutable=["batch_stats"])
