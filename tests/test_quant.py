@@ -491,3 +491,17 @@ class TestBNFolding:
             quantized_apply(model, v, x, train=True, config=cfg,
                             rngs={"dropout": jax.random.PRNGKey(0)},
                             mutable=["batch_stats"])
+
+    @pytest.mark.parametrize("mtype,n_pairs", [
+        ("resnet50", 53),      # every eligible conv is conv->BN
+        ("mobilenetv3", 23),   # SE squeeze/excite convs have no BN
+    ])
+    def test_folding_coverage(self, mtype, n_pairs):
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.quant import build_bn_folding
+
+        model = get_model(mtype, "gap_only", 3)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        folding = build_bn_folding(model, v, x)
+        assert len(folding["convs"]) == n_pairs
