@@ -50,6 +50,8 @@ class Predictor:
     quantize: Optional[str] = None        # None (fp32) | "int8"
     fold_bn: bool = True                  # int8 only: fold inference BNs
     #                                       into the conv dequant epilogue
+    data_parallel: bool = False           # shard batches over all local
+    #                                       devices (params replicated)
 
     def __post_init__(self):
         self.model = get_model(self.model_type, self.model_variant,
@@ -109,6 +111,36 @@ class Predictor:
             def _forward(variables, images):
                 logits = self.model.apply(variables, images, train=False)
                 return jax.nn.softmax(logits, axis=-1)
+
+        if self.data_parallel and jax.local_device_count() > 1:
+            # data-parallel serving: params replicated once, every
+            # request batch split over the device mesh. shard_map (not
+            # bare jit-with-shardings) so each shard runs the literal
+            # single-chip program — GSPMD never has to reason about the
+            # opaque Pallas int8 kernels, and no collectives appear
+            # (the forward is batch-pointwise). With dynamic int8
+            # quantization the activation amax becomes per-shard, which
+            # is a per-request-chunk dynamic scale — same accuracy
+            # story; calibrated scales are identical either way.
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.mesh import (create_mesh,
+                                        replicated_sharding)
+
+            mesh = create_mesh()
+            if self.batch_size % mesh.devices.size:
+                raise ValueError(
+                    f"data_parallel serving needs batch_size "
+                    f"({self.batch_size}) divisible by the device count "
+                    f"({mesh.devices.size})")
+            self._mesh = mesh
+            self._variables = jax.device_put(
+                self._variables, replicated_sharding(mesh))
+            base = _forward
+            _forward = jax.jit(jax.shard_map(
+                lambda v, x: base(v, x), mesh=mesh,
+                in_specs=(P(), P("data")), out_specs=P("data"),
+                check_vma=False))
 
         self._forward = _forward
 

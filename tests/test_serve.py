@@ -1,6 +1,8 @@
 """Serving API tests: predictor compiles once, pads, restores checkpoints."""
 
+import jax
 import numpy as np
+import pytest
 
 from neighbour_feature_pooling_tpu.serve import Predictor
 
@@ -103,3 +105,52 @@ def test_predictor_restores_plateau_checkpoint(tmp_path):
     batch = next(iter(dm.test_batches()))
     out = p.predict(batch["image"], preprocessed=True)
     assert out["probabilities"].shape[1] == 2
+
+
+class TestDataParallelServing:
+    """data_parallel=True shards request batches over the device mesh
+    (8 virtual CPU devices under conftest)."""
+
+    def test_matches_single_device_fp32(self):
+        import numpy as np
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        kw = dict(num_classes=4, batch_size=8, input_size=32,
+                  resize_size=36)
+        single = Predictor("resnet18", "texture_nfp", **kw)
+        multi = Predictor("resnet18", "texture_nfp", data_parallel=True,
+                          **kw)
+        from neighbour_feature_pooling_tpu.parallel.mesh import (
+            replicated_sharding)
+
+        multi._variables = jax.device_put(
+            single._variables, replicated_sharding(multi._mesh))
+        rng = np.random.default_rng(0)
+        imgs = [rng.random((36, 36, 3)).astype(np.float32)
+                for _ in range(11)]
+        a = single.predict(imgs)
+        b = multi.predict(imgs)
+        np.testing.assert_allclose(b["probabilities"],
+                                   a["probabilities"], atol=1e-5)
+        np.testing.assert_array_equal(b["label"], a["label"])
+
+    def test_int8_data_parallel_runs(self):
+        import numpy as np
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        pred = Predictor("resnet18", "gap_only", num_classes=3,
+                         batch_size=8, input_size=32, resize_size=36,
+                         quantize="int8", data_parallel=True)
+        rng = np.random.default_rng(1)
+        imgs = [rng.random((36, 36, 3)).astype(np.float32)
+                for _ in range(8)]
+        out = pred.predict(imgs)
+        assert out["probabilities"].shape == (8, 3)
+        assert np.all(np.isfinite(out["probabilities"]))
+
+    def test_batch_size_must_divide(self):
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        with pytest.raises(ValueError, match="divisible"):
+            Predictor("resnet18", "gap_only", num_classes=3,
+                      batch_size=6, input_size=32, data_parallel=True)
