@@ -505,3 +505,23 @@ class TestBNFolding:
         v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
         folding = build_bn_folding(model, v, x)
         assert len(folding["convs"]) == n_pairs
+
+    def test_calibrated_predictor_exports(self, tmp_path):
+        """AOT export freezes the calibrated program: static scales are
+        constants in the artifact and the reload matches exactly."""
+        from neighbour_feature_pooling_tpu.serve import (
+            Predictor, export_predictor, load_exported)
+
+        pred = Predictor("resnet18", "gap_only", num_classes=3,
+                         batch_size=4, input_size=32, resize_size=36,
+                         quantize="int8")
+        rng = np.random.default_rng(3)
+        imgs = [rng.random((36, 36, 3)).astype(np.float32)
+                for _ in range(4)]
+        pred.calibrate(imgs)
+        want = pred.predict(imgs)
+        path = str(tmp_path / "artifact_int8_calib")
+        export_predictor(pred, path)
+        got = load_exported(path).predict(imgs)
+        np.testing.assert_allclose(got["probabilities"],
+                                   want["probabilities"], atol=1e-5)
