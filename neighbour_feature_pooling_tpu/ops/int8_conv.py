@@ -57,34 +57,48 @@ def _round_up(x: int, m: int) -> int:
     return x + (-x) % m
 
 
+def _accumulate_taps(x, w_ref, *, kh: int, kw: int, wp: int, n_rows: int):
+    """Sum of per-tap GEMMs over contiguous row windows.
+
+    Tap offsets ``p = dy·wp + dx`` are sublane-misaligned in general
+    (each slice costs a Mosaic relayout copy of the whole window). When
+    ``wp`` is a multiple of the int8 sublane tile (32), factor by ``dx``:
+    one misaligned slice per ``dx`` (kw copies), then every ``dy`` offset
+    within it is tile-aligned (free) — kh·kw → kw relayouts. The host
+    pads ``wp`` up to 32 when that costs ≤ the relayout saving."""
+    acc = None
+    if wp % 32 == 0:
+        for dx in range(kw):
+            xs_ = x[dx:dx + (kh - 1) * wp + n_rows, :]
+            for dy in range(kh):
+                a = xs_[dy * wp:dy * wp + n_rows, :]
+                d = jnp.dot(a, w_ref[dy, dx],
+                            preferred_element_type=jnp.int32)
+                acc = d if acc is None else acc + d
+    else:
+        for dy in range(kh):
+            for dx in range(kw):
+                p = dy * wp + dx
+                a = x[p:p + n_rows, :]
+                d = jnp.dot(a, w_ref[dy, dx],
+                            preferred_element_type=jnp.int32)
+                acc = d if acc is None else acc + d
+    return acc
+
+
 def _conv_kernel(x_ref, w_ref, o_ref, *, kh: int, kw: int, wp: int,
                  n_rows: int):
-    x = x_ref[0]                      # (n_rows + P, Cin) s8
-    acc = None
-    for dy in range(kh):
-        for dx in range(kw):
-            p = dy * wp + dx
-            a = x[p:p + n_rows, :]    # contiguous rows, all TB images
-            d = jnp.dot(a, w_ref[dy, dx],
-                        preferred_element_type=jnp.int32)
-            acc = d if acc is None else acc + d
-    o_ref[0] = acc
+    o_ref[0] = _accumulate_taps(x_ref[0], w_ref, kh=kh, kw=kw, wp=wp,
+                                n_rows=n_rows)
 
 
 def _conv_kernel_fused(x_ref, w_ref, s_ref, b_ref, o_ref, *, kh: int,
                        kw: int, wp: int, n_rows: int):
-    """Same accumulation + dequant epilogue: the s32 tile never leaves
+    """Accumulation + dequant epilogue: the s32 tile never leaves
     VMEM — output is ``acc·scale + bias`` in the float dtype (half the
     HBM write of the s32 form, and no separate dequant pass)."""
-    x = x_ref[0]
-    acc = None
-    for dy in range(kh):
-        for dx in range(kw):
-            p = dy * wp + dx
-            a = x[p:p + n_rows, :]
-            d = jnp.dot(a, w_ref[dy, dx],
-                        preferred_element_type=jnp.int32)
-            acc = d if acc is None else acc + d
+    acc = _accumulate_taps(x_ref[0], w_ref, kh=kh, kw=kw, wp=wp,
+                           n_rows=n_rows)
     y = acc.astype(jnp.float32) * s_ref[0] + b_ref[0]
     o_ref[0] = y.astype(o_ref.dtype)
 
@@ -236,6 +250,14 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
     wo = wp - kw + 1
     if ho <= 0 or wo <= 0:
         raise ValueError("empty output")
+    # pad the padded width up to the int8 sublane tile when cheap: tap
+    # slicing then factors by dx in the kernel (kh·kw → kw relayout
+    # copies, see _accumulate_taps); never at small maps where 32-wide
+    # rows would multiply the dot work
+    wp_aligned = _round_up(wp, 32)
+    if wp_aligned != wp and wp_aligned <= 1.2 * wp:
+        pads = (pads[0], (pads[1][0], pads[1][1] + wp_aligned - wp))
+        wp = wp_aligned
 
     n_out = ho * wp                       # rows produced at width Wp
     pmax = (kh - 1) * wp + (kw - 1)       # largest tap row offset

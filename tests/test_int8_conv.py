@@ -148,3 +148,24 @@ def test_int8_conv_fused_epilogue_strided_bf16():
     assert fused.dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(fused.astype(jnp.float32)),
                                   np.asarray(want.astype(jnp.float32)))
+
+
+def test_int8_conv_factored_taps_path_exact():
+    """W=62 SAME/3x3 gives wp=64 (32-aligned): the dx-factored tap body
+    runs; exactness unchanged."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.integers(-127, 128, (2, 30, 62, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 16)), jnp.int8)
+    got = int8_conv2d(x, w, padding="SAME")
+    want = _ref(x, w, [(1, 1), (1, 1)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_wp_alignment_pad_exact():
+    """W=56 SAME/3x3: wp 58 -> 64 via right zero-cols; still exact."""
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.integers(-127, 128, (1, 12, 56, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 8)), jnp.int8)
+    got = int8_conv2d(x, w, padding="SAME")
+    want = _ref(x, w, [(1, 1), (1, 1)])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
