@@ -221,6 +221,11 @@ def export_predictor(predictor: Predictor, path: str,
     """
     from jax import export as jexport
 
+    if getattr(predictor, "_mesh", None) is not None:
+        raise ValueError(
+            "export_predictor does not support data_parallel predictors "
+            "(the artifact would be pinned to this mesh); export a "
+            "Predictor(data_parallel=False) twin and shard at load time")
     if platforms is None:
         platforms = [jax.default_backend()]
 

@@ -154,3 +154,13 @@ class TestDataParallelServing:
         with pytest.raises(ValueError, match="divisible"):
             Predictor("resnet18", "gap_only", num_classes=3,
                       batch_size=6, input_size=32, data_parallel=True)
+
+    def test_data_parallel_export_rejected(self, tmp_path):
+        from neighbour_feature_pooling_tpu.serve import (
+            Predictor, export_predictor)
+
+        pred = Predictor("resnet18", "gap_only", num_classes=3,
+                         batch_size=8, input_size=32,
+                         data_parallel=True)
+        with pytest.raises(ValueError, match="data_parallel"):
+            export_predictor(pred, str(tmp_path / "x"))
