@@ -99,7 +99,8 @@ def _conv_kernel_fused(x_ref, w_ref, s_ref, b_ref, o_ref, *, kh: int,
     HBM write of the s32 form, and no separate dequant pass)."""
     acc = _accumulate_taps(x_ref[0], w_ref, kh=kh, kw=kw, wp=wp,
                            n_rows=n_rows)
-    y = acc.astype(jnp.float32) * s_ref[0] + b_ref[0]
+    # (1, tcout) blocks broadcast over (n_rows, tcout) without a squeeze
+    y = acc.astype(jnp.float32) * s_ref[:] + b_ref[:]
     o_ref[0] = y.astype(o_ref.dtype)
 
 

@@ -58,7 +58,8 @@ def _gemm_kernel_fused(a_ref, b_ref, s_ref, bias_ref, o_ref, acc_ref, *,
 
     @pl.when(pl.program_id(2) == k_steps - 1)
     def _flush():
-        y = acc_ref[:].astype(jnp.float32) * s_ref[0] + bias_ref[0]
+        # (1, tn) blocks broadcast over (tm, tn) without a squeeze
+        y = acc_ref[:].astype(jnp.float32) * s_ref[:] + bias_ref[:]
         o_ref[:] = y.astype(o_ref.dtype)
 
 
