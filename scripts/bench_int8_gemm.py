@@ -29,9 +29,13 @@ def main() -> None:
                     help="sweep tile configs instead of the default")
     ap.add_argument("--out",
                     default=os.path.join(REPO, "bench_int8_gemm.jsonl"))
+    ap.add_argument("--cpu", action="store_true",
+                    help="smoke-test on the CPU backend (interpret mode)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
