@@ -46,11 +46,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import use_interpret as _use_interpret
+
 __all__ = ["int8_conv2d"]
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -157,14 +155,16 @@ def _resolve_pads(padding, kh: int, kw: int, h: int, wdt: int,
     SAME convention under strides (``lo = floor, hi = ceil`` of the
     deficit)."""
     if isinstance(padding, str):
-        if padding.upper() == "SAME":
+        name = padding.upper()
+        if name in ("SAME", "SAME_LOWER"):
             pads = []
             for dim, k, s in ((h, kh, strides[0]), (wdt, kw, strides[1])):
                 out = -(-dim // s)                       # ceil
                 total = max((out - 1) * s + k - dim, 0)
-                pads.append((total // 2, total - total // 2))
+                lo = total // 2 if name == "SAME" else total - total // 2
+                pads.append((lo, total - lo))
             return tuple(pads)
-        if padding.upper() == "VALID":
+        if name == "VALID":
             return ((0, 0), (0, 0))
         raise ValueError(f"unsupported padding {padding!r}")
     return tuple((int(lo), int(hi)) for lo, hi in padding)
@@ -231,6 +231,9 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
     if x.dtype != jnp.int8 or w.dtype != jnp.int8:
         raise TypeError(f"int8_conv2d needs int8 operands, got "
                         f"{x.dtype}/{w.dtype}")
+    if scale is None and bias is not None:
+        raise ValueError("bias requires scale (the fused epilogue); the "
+                         "s32 form returns the raw accumulator")
     if x.ndim != 4 or w.ndim != 4:
         raise ValueError(f"NHWC x HWIO expected, got {x.shape}/{w.shape}")
     b, h, wdt, cin = x.shape

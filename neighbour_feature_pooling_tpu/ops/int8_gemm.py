@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import use_interpret as _use_interpret
+
 __all__ = ["int8_gemm"]
 
 
@@ -69,10 +71,6 @@ def _pad_to(x: jax.Array, mult: Tuple[int, int]) -> jax.Array:
     if pm or pn:
         x = jnp.pad(x, ((0, pm), (0, pn)))
     return x
-
-
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "tk",
@@ -135,6 +133,9 @@ def int8_gemm(a: jax.Array, b: jax.Array,
     if a.dtype != jnp.int8 or b.dtype != jnp.int8:
         raise TypeError(f"int8_gemm needs int8 operands, got "
                         f"{a.dtype}/{b.dtype}")
+    if scale is None and bias is not None:
+        raise ValueError("bias requires scale (the fused epilogue); the "
+                         "s32 form returns the raw accumulator")
     m, k = a.shape
     k2, n = b.shape
     if k != k2:

@@ -391,8 +391,7 @@ def nfp_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _use_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from .common import use_interpret as _use_interpret  # noqa: E402
 
 
 @functools.partial(

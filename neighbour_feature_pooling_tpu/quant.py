@@ -443,9 +443,14 @@ def build_bn_folding(model: nn.Module, variables, sample: jax.Array,
             if (type(mod) is nn.Conv and args[0].ndim >= 3
                     and not _skipped(mod)
                     and _conv_eligible(mod, args[0], cfg)):
-                events.append(("conv", tuple(mod.path), mod.features))
-            elif type(mod) is nn.BatchNorm:
-                events.append(("bn", tuple(mod.path), mod))
+                out = next_fun(*args, **kwargs)
+                # keep the traced output VALUE: a BN folds only if its
+                # input IS this value (dataflow, not call adjacency)
+                events.append(("conv", tuple(mod.path), mod.features,
+                               out))
+                return out
+            if type(mod) is nn.BatchNorm:
+                events.append(("bn", tuple(mod.path), mod, args[0]))
         return next_fun(*args, **kwargs)
 
     def _traced(v, x):
@@ -468,8 +473,10 @@ def build_bn_folding(model: nn.Module, variables, sample: jax.Array,
     for prev, ev in zip(events, events[1:]):
         if prev[0] != "conv" or ev[0] != "bn":
             continue
-        _, conv_key, features = prev
-        _, bn_path, bn_mod = ev
+        _, conv_key, features, conv_out = prev
+        _, bn_path, bn_mod, bn_in = ev
+        if bn_in is not conv_out:
+            continue  # something computes between them — not foldable
         bn_params = _lookup(params, bn_path) or {}
         bn_stats = _lookup(stats, bn_path)
         if bn_stats is None or "mean" not in bn_stats:

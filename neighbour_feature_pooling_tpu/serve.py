@@ -127,7 +127,7 @@ class Predictor:
             from .parallel.mesh import (create_mesh,
                                         replicated_sharding)
 
-            mesh = create_mesh()
+            mesh = create_mesh(jax.local_devices())  # host-local serving
             if self.batch_size % mesh.devices.size:
                 raise ValueError(
                     f"data_parallel serving needs batch_size "
@@ -160,6 +160,12 @@ class Predictor:
 
         x = (np.asarray(images, np.float32) if preprocessed
              else self.preprocess(images))
+        pad = (-x.shape[0]) % self.batch_size
+        if pad:
+            # zero rows never raise a max|x| — pad to the compiled batch
+            # size so calibration costs exactly one trace/compile
+            x = np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], np.float32)])
         batches = [jnp.asarray(x[i: i + self.batch_size])
                    for i in range(0, x.shape[0], self.batch_size)]
         self._act_scales = calibrate_act_scales(

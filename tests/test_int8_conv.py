@@ -169,3 +169,23 @@ def test_int8_conv_wp_alignment_pad_exact():
     got = int8_conv2d(x, w, padding="SAME")
     want = _ref(x, w, [(1, 1), (1, 1)])
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_same_lower_padding():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(-127, 128, (1, 9, 9, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (2, 2, 8, 8)), jnp.int8)
+    got = int8_conv2d(x, w, padding="SAME_LOWER", strides=(2, 2))
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    want = lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding="SAME_LOWER",
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_bias_without_scale_rejected():
+    x = jnp.zeros((1, 4, 4, 4), jnp.int8)
+    w = jnp.zeros((3, 3, 4, 4), jnp.int8)
+    with pytest.raises(ValueError, match="bias requires scale"):
+        int8_conv2d(x, w, bias=jnp.zeros((4,), jnp.float32))

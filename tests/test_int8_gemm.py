@@ -82,3 +82,10 @@ def test_int8_gemm_fused_bf16_out():
     np.testing.assert_array_equal(
         np.asarray(fused.astype(jnp.float32)),
         np.asarray(want.astype(jnp.float32)))
+
+
+def test_int8_gemm_bias_without_scale_rejected():
+    a = jnp.zeros((8, 8), jnp.int8)
+    b = jnp.zeros((8, 8), jnp.int8)
+    with pytest.raises(ValueError, match="bias requires scale"):
+        int8_gemm(a, b, bias=jnp.zeros((8,), jnp.float32))

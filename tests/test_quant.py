@@ -525,3 +525,26 @@ class TestBNFolding:
         got = load_exported(path).predict(imgs)
         np.testing.assert_allclose(got["probabilities"],
                                    want["probabilities"], atol=1e-5)
+
+    def test_folding_requires_dataflow_not_adjacency(self):
+        """A BN that is called right after a conv but does NOT consume
+        its output must not fold."""
+        from neighbour_feature_pooling_tpu.quant import build_bn_folding
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                y = nn.Conv(8, (3, 3), padding=1, use_bias=False,
+                            name="conv")(x)
+                y = nn.relu(y)  # value between conv and BN
+                y = nn.BatchNorm(use_running_average=True,
+                                 name="bn")(y)
+                return y
+
+        x = jnp.zeros((1, 8, 8, 8), jnp.float32)
+        m = M()
+        v = m.init(jax.random.PRNGKey(0), x)
+        folding = build_bn_folding(m, v, x,
+                                   config=QuantConfig(min_contraction=1),
+                                   apply_kwargs={})
+        assert folding["convs"] == {} and folding["bns"] == set()
