@@ -46,8 +46,16 @@ run conv_big python scripts/bench_int8_conv.py --batch 128 \
 run conv_small python scripts/bench_int8_conv.py --batch 128 \
   --shapes rn_14x256,rn_7x512 --iters 10
 
-# 5. end-to-end serving: int8 (now MXU-routed) vs bf16
+# 5. end-to-end serving: int8 (now MXU-routed) vs bf16, three families
 run serve_int8 python scripts/bench_serve.py --int8 --batch 128 --iters 10
 run serve_bf16 python scripts/bench_serve.py --bf16 --batch 128 --iters 10
+run serve_rn50_int8 python scripts/bench_serve.py --model_type resnet50 \
+  --int8 --batch 128 --iters 10
+run serve_rn50_bf16 python scripts/bench_serve.py --model_type resnet50 \
+  --bf16 --batch 128 --iters 10
+run serve_vit_int8 python scripts/bench_serve.py --model_type vittiny \
+  --int8 --batch 128 --iters 10
+run serve_vit_bf16 python scripts/bench_serve.py --model_type vittiny \
+  --bf16 --batch 128 --iters 10
 
 echo "session done" | tee -a "$OUT/session.log"
