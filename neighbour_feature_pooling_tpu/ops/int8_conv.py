@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import dequant_epilogue as _epilogue
 from .common import use_interpret as _use_interpret
 
 __all__ = ["int8_conv2d"]
@@ -91,25 +92,24 @@ def _conv_kernel(x_ref, w_ref, o_ref, *, kh: int, kw: int, wp: int,
 
 
 def _conv_kernel_fused(x_ref, w_ref, s_ref, b_ref, o_ref, *, kh: int,
-                       kw: int, wp: int, n_rows: int):
+                       kw: int, wp: int, n_rows: int, relu: bool):
     """Accumulation + dequant epilogue: the s32 tile never leaves
     VMEM — output is ``acc·scale + bias`` in the float dtype (half the
-    HBM write of the s32 form, and no separate dequant pass)."""
+    HBM write of the s32 form, and no separate dequant pass), or
+    requantized s8 for chained int8 consumers (quarter the write)."""
     acc = _accumulate_taps(x_ref[0], w_ref, kh=kh, kw=kw, wp=wp,
                            n_rows=n_rows)
-    # (1, tcout) blocks broadcast over (n_rows, tcout) without a squeeze
-    y = acc.astype(jnp.float32) * s_ref[:] + b_ref[:]
-    o_ref[0] = y.astype(o_ref.dtype)
+    o_ref[0] = _epilogue(acc, s_ref, b_ref, o_ref.dtype, relu)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kh", "kw", "wp", "tcout",
-                                    "out_dtype", "interpret"))
+                                    "out_dtype", "relu", "interpret"))
 def _conv_flat(xg: jax.Array, w: jax.Array, kh: int, kw: int, wp: int,
                tcout: int, interpret: bool,
                scale: Optional[jax.Array] = None,
                bias: Optional[jax.Array] = None,
-               out_dtype=None) -> jax.Array:
+               out_dtype=None, relu: bool = False) -> jax.Array:
     """``xg``: (groups, TB·npad + P, Cin) packed padded rows. Returns
     (groups, TB·npad, Cout) — per-image garbage rows still in place.
     With ``scale`` (per-Cout f32), dequant fuses into the kernel flush
@@ -129,7 +129,7 @@ def _conv_flat(xg: jax.Array, w: jax.Array, kh: int, kw: int, wp: int,
         odt = jnp.int32
     else:
         kern = functools.partial(_conv_kernel_fused, kh=kh, kw=kw, wp=wp,
-                                 n_rows=n_rows)
+                                 n_rows=n_rows, relu=relu)
         vec = pl.BlockSpec((1, tcout), lambda i, j: (0, j))
         in_specs += [vec, vec]
         if bias is None:
@@ -212,7 +212,7 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
                 batch_tile: Optional[int] = None,
                 scale: Optional[jax.Array] = None,
                 bias: Optional[jax.Array] = None,
-                out_dtype=None) -> jax.Array:
+                out_dtype=None, relu: bool = False) -> jax.Array:
     """``(B,H,W,Cin) s8 ⊛ (Kh,Kw,Cin,Cout) s8 → (B,Ho,Wo,Cout) s32``.
 
     Dilation-1, single-group NHWC/HWIO conv with exact int32 accumulation
@@ -227,6 +227,9 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
     fuses the dequant epilogue into the kernel: the s32 accumulator never
     reaches HBM and the result is ``acc·scale + bias`` in ``out_dtype``
     (default f32) — half the output write traffic of the s32 form.
+    ``relu`` applies max(·,0) inside the epilogue; ``out_dtype=int8``
+    additionally requantizes (saturating round) — pre-divide scale/bias
+    by the consumer's activation scale. Chained int8 serving uses both.
     """
     if x.dtype != jnp.int8 or w.dtype != jnp.int8:
         raise TypeError(f"int8_conv2d needs int8 operands, got "
@@ -246,7 +249,7 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
         x2, w2, ho, wo = _space_to_depth(x, w, pads, strides)
         out = int8_conv2d(x2, w2, padding="VALID", tcout=tcout,
                           batch_tile=batch_tile, scale=scale, bias=bias,
-                          out_dtype=out_dtype)
+                          out_dtype=out_dtype, relu=relu)
         return out[:, :ho, :wo, :]
     hp = h + pads[0][0] + pads[0][1]
     wp = wdt + pads[1][0] + pads[1][1]
@@ -284,7 +287,8 @@ def int8_conv2d(x: jax.Array, w: jax.Array,
     xg = xf.reshape(b // tb, tb * npad, cin)
     xg = jnp.pad(xg, ((0, 0), (0, _round_up(pmax, 32)), (0, 0)))
     acc = _conv_flat(xg, w, kh, kw, wp, tc, interpret=_use_interpret(),
-                     scale=scale, bias=bias, out_dtype=out_dtype)
+                     scale=scale, bias=bias, out_dtype=out_dtype,
+                     relu=relu)
     acc = acc.reshape(b, npad, cout)[:, :n_out]
     acc = acc.reshape(b, ho, wp, cout)
     return acc[:, :, :wo, :]

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import dequant_epilogue
 from .common import use_interpret as _use_interpret
 
 __all__ = ["int8_gemm"]
@@ -47,10 +48,11 @@ def _gemm_kernel(a_ref, b_ref, o_ref, acc_ref, *, k_steps: int):
 
 
 def _gemm_kernel_fused(a_ref, b_ref, s_ref, bias_ref, o_ref, acc_ref, *,
-                       k_steps: int):
+                       k_steps: int, relu: bool):
     """K-accumulating GEMM + dequant epilogue: the flush emits
     ``acc·scale + bias`` in the float dtype — the s32 tile never leaves
-    VMEM (half the HBM write of the s32 form, no separate dequant pass)."""
+    VMEM (half the HBM write of the s32 form, no separate dequant pass) —
+    or requantized s8 for chained int8 consumers (quarter the write)."""
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -60,9 +62,8 @@ def _gemm_kernel_fused(a_ref, b_ref, s_ref, bias_ref, o_ref, acc_ref, *,
 
     @pl.when(pl.program_id(2) == k_steps - 1)
     def _flush():
-        # (1, tn) blocks broadcast over (tm, tn) without a squeeze
-        y = acc_ref[:].astype(jnp.float32) * s_ref[:] + bias_ref[:]
-        o_ref[:] = y.astype(o_ref.dtype)
+        o_ref[:] = dequant_epilogue(acc_ref[:], s_ref, bias_ref,
+                                    o_ref.dtype, relu)
 
 
 def _pad_to(x: jax.Array, mult: Tuple[int, int]) -> jax.Array:
@@ -74,13 +75,14 @@ def _pad_to(x: jax.Array, mult: Tuple[int, int]) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "tk",
-                                             "out_dtype", "interpret"))
+                                             "out_dtype", "relu",
+                                             "interpret"))
 def _int8_gemm_padded(a: jax.Array, b: jax.Array,
                       tm: int, tn: int, tk: int,
                       interpret: bool = False,
                       scale: Optional[jax.Array] = None,
                       bias: Optional[jax.Array] = None,
-                      out_dtype=None) -> jax.Array:
+                      out_dtype=None, relu: bool = False) -> jax.Array:
     m, k = a.shape
     _, n = b.shape
     k_steps = k // tk
@@ -93,7 +95,8 @@ def _int8_gemm_padded(a: jax.Array, b: jax.Array,
         args = (a, b)
         odt = jnp.int32
     else:
-        kern = functools.partial(_gemm_kernel_fused, k_steps=k_steps)
+        kern = functools.partial(_gemm_kernel_fused, k_steps=k_steps,
+                                 relu=relu)
         vec = pl.BlockSpec((1, tn), lambda i, j, kk: (0, j))
         in_specs += [vec, vec]
         if bias is None:
@@ -118,7 +121,7 @@ def int8_gemm(a: jax.Array, b: jax.Array,
               tiles: Optional[Tuple[int, int, int]] = None,
               scale: Optional[jax.Array] = None,
               bias: Optional[jax.Array] = None,
-              out_dtype=None) -> jax.Array:
+              out_dtype=None, relu: bool = False) -> jax.Array:
     """``(M, K) int8 × (K, N) int8 → (M, N) int32`` on the MXU int8 mode.
 
     Shapes need not be tile-aligned; inputs are zero-padded (zeros
@@ -149,7 +152,8 @@ def int8_gemm(a: jax.Array, b: jax.Array,
         if bias is not None:
             bias = jnp.pad(bias.reshape(-1).astype(jnp.float32), (0, pn))
     out = _int8_gemm_padded(ap, bp, tm, tn, tk, interpret=_use_interpret(),
-                            scale=scale, bias=bias, out_dtype=out_dtype)
+                            scale=scale, bias=bias, out_dtype=out_dtype,
+                            relu=relu)
     if out.shape != (m, n):
         out = out[:m, :n]
     return out

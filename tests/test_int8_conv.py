@@ -189,3 +189,31 @@ def test_int8_conv_bias_without_scale_rejected():
     w = jnp.zeros((3, 3, 4, 4), jnp.int8)
     with pytest.raises(ValueError, match="bias requires scale"):
         int8_conv2d(x, w, bias=jnp.zeros((4,), jnp.float32))
+
+
+def test_int8_conv_relu_and_requant_epilogue():
+    """relu + s8-out epilogue == clip(round(relu(acc*scale+bias)))."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.integers(-127, 128, (2, 8, 8, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 16)), jnp.int8)
+    scale = jnp.asarray(rng.standard_normal(16) * 1e-3, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    got = int8_conv2d(x, w, padding="SAME", scale=scale, bias=bias,
+                      relu=True, out_dtype=jnp.int8)
+    s32 = int8_conv2d(x, w, padding="SAME").astype(jnp.float32)
+    y = jnp.maximum(s32 * scale + bias, 0.0)
+    want = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    assert got.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_conv_relu_only_float_out():
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.integers(-127, 128, (1, 6, 6, 8)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (3, 3, 8, 8)), jnp.int8)
+    scale = jnp.full((8,), 1e-3, jnp.float32)
+    got = int8_conv2d(x, w, padding="SAME", scale=scale, relu=True)
+    s32 = int8_conv2d(x, w, padding="SAME").astype(jnp.float32)
+    want = jnp.maximum(s32 * scale, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)

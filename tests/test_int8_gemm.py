@@ -89,3 +89,18 @@ def test_int8_gemm_bias_without_scale_rejected():
     b = jnp.zeros((8, 8), jnp.int8)
     with pytest.raises(ValueError, match="bias requires scale"):
         int8_gemm(a, b, bias=jnp.zeros((8,), jnp.float32))
+
+
+def test_int8_gemm_relu_and_requant_epilogue():
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.integers(-127, 128, (32, 64)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, (64, 128)), jnp.int8)
+    scale = jnp.asarray(rng.standard_normal(128) * 1e-3, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    got = int8_gemm(a, b, tiles=(32, 128, 64), scale=scale, bias=bias,
+                    relu=True, out_dtype=jnp.int8)
+    s32 = int8_gemm(a, b, tiles=(32, 128, 64)).astype(jnp.float32)
+    y = jnp.maximum(s32 * scale + bias, 0.0)
+    want = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+    assert got.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
