@@ -52,8 +52,9 @@ import flax.linen as nn
 from .ops.int8_conv import int8_conv2d
 from .ops.int8_gemm import int8_gemm
 
-__all__ = ["QuantConfig", "build_bn_folding", "calibrate_act_scales",
-           "make_int8_interceptor", "quantized_apply"]
+__all__ = ["QuantConfig", "build_bn_folding", "build_int8_chains",
+           "calibrate_act_scales", "make_int8_interceptor",
+           "quantized_apply"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +78,11 @@ class QuantConfig:
     :func:`build_bn_folding`; paired convs absorb the BN affine into
     their dequant epilogue and the BN itself becomes identity — one
     whole elementwise HBM pass per conv removed.
+    ``int8_chains``: conv→conv chain map from :func:`build_int8_chains`
+    (requires ``act_scales``): producer convs requantize inside the
+    epilogue (with fused ReLU) and emit s8 directly — the chained
+    activation never exists in float in HBM (¼ the write traffic, and
+    the consumer's quantize pass disappears).
     """
 
     min_contraction: int = 64
@@ -84,6 +90,7 @@ class QuantConfig:
     use_mxu_gemm: Optional[bool] = None
     act_scales: Optional[dict] = None
     bn_folding: Optional[dict] = None
+    int8_chains: Optional[dict] = None
 
     def _mxu(self) -> bool:
         if self.use_mxu_gemm is None:
@@ -133,7 +140,15 @@ def _quantize_act(x: jax.Array, act_scale: Optional[float],
                   ) -> Tuple[jax.Array, jax.Array]:
     """Activation quantization: dynamic per-tensor amax, or a fixed
     calibrated scale (skips the amax pass; saturating clip handles
-    out-of-calibration values)."""
+    out-of-calibration values). An int8 input is already quantized by a
+    chained producer (``int8_chains``) — passed through with its
+    calibrated scale."""
+    if x.dtype == jnp.int8:
+        if act_scale is None:
+            raise ValueError(
+                "int8 activation input requires a calibrated act_scale "
+                "(chained producers quantize with the consumer's scale)")
+        return x, jnp.asarray(act_scale, jnp.float32)
     if act_scale is None:
         return _quantize(x)
     s = jnp.asarray(act_scale, jnp.float32)
@@ -180,6 +195,7 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
                cfg: Optional[QuantConfig] = None,
                act_scale: Optional[float] = None,
                fold: Optional[Tuple[jax.Array, jax.Array]] = None,
+               chain: Optional[Tuple[bool, float]] = None,
                ) -> jax.Array:
     """int8 replacement for an eligible ``nn.Conv.__call__``.
 
@@ -215,6 +231,21 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
         scale_vec = scale_vec * mult
         bias_vec = shift if bias_vec is None else bias_vec * mult + shift
 
+    # chained producer: fold the consumer's activation scale into the
+    # epilogue affine and emit requantized s8 (with the intervening ReLU
+    # fused) — the activation never exists in float in HBM
+    relu_flag = False
+    # an s8 input means OUR producer chained to us; we still emit float
+    # (unless we chain onward ourselves)
+    out_dt = x.dtype if x.dtype != jnp.int8 else (mod.dtype
+                                                  or jnp.float32)
+    if chain is not None:
+        relu_flag, cons_scale = chain
+        cs = jnp.asarray(cons_scale, jnp.float32)
+        scale_vec = scale_vec / cs
+        bias_vec = None if bias_vec is None else bias_vec / cs
+        out_dt = jnp.int8
+
     if (cfg._mxu() and all(k == 1 for k in ksize)
             and _is_zero_padding(mod.padding, ksize)):
         sub = (slice(None),) + tuple(slice(None, None, s) for s in strides)
@@ -222,7 +253,7 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
         y = int8_gemm(xsub.reshape(-1, in_features),
                       wq.reshape(in_features, mod.features),
                       scale=scale_vec, bias=bias_vec,
-                      out_dtype=x.dtype)
+                      out_dtype=out_dt, relu=relu_flag)
         return y.reshape(xsub.shape[:-1] + (mod.features,))
     elif (cfg._mxu() and nd == 2
           and in_features * strides[0] * strides[1] >= 32):
@@ -235,7 +266,7 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
         return int8_conv2d(
             xq, wq, padding=pad, strides=strides,
             scale=scale_vec, bias=bias_vec,
-            out_dtype=x.dtype).astype(x.dtype)
+            out_dtype=out_dt, relu=relu_flag)
     else:
         dn = lax.conv_dimension_numbers(x.shape, kshape,
                                         ("NHWC", "HWIO", "NHWC"))
@@ -245,10 +276,16 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
             padding=_canon_padding(mod.padding, nd),
             dimension_numbers=dn,
             preferred_element_type=jnp.int32)
+    # XLA fallback: same epilogue op order as the fused kernels (mul,
+    # add, relu, round/clip, cast) so routes stay bit-identical
     y = acc.astype(jnp.float32) * scale_vec
     if bias_vec is not None:
         y = y + bias_vec
-    return y.astype(x.dtype)
+    if relu_flag:
+        y = jnp.maximum(y, 0.0)
+    if out_dt == jnp.int8:
+        y = jnp.clip(jnp.round(y), -127.0, 127.0)
+    return y.astype(out_dt)
 
 
 def _dense_int8(mod: nn.Dense, x: jax.Array,
@@ -356,10 +393,12 @@ def make_int8_interceptor(config: Optional[QuantConfig] = None,
             return x  # affine absorbed by the preceding conv's epilogue
         if (type(mod) is nn.Conv and x.ndim >= 3
                 and _conv_eligible(mod, x, cfg)):
-            fold = (folding or {}).get("convs", {}).get(tuple(mod.path))
-            return _hit(tuple(mod.path), next_fun, args, kwargs,
+            key = tuple(mod.path)
+            fold = (folding or {}).get("convs", {}).get(key)
+            chain = (cfg.int8_chains or {}).get(key)
+            return _hit(key, next_fun, args, kwargs,
                         lambda s: _conv_int8(mod, x, cfg, act_scale=s,
-                                             fold=fold))
+                                             fold=fold, chain=chain))
         if (type(mod) is nn.Dense and x.ndim >= 1
                 and x.shape[-1] >= cfg.min_contraction):
             return _hit(tuple(mod.path), next_fun, args, kwargs,
@@ -495,6 +534,97 @@ def build_bn_folding(model: nn.Module, variables, sample: jax.Array,
         convs[conv_key] = (f, beta - mean * f)
         bns.add(bn_path)
     return {"convs": convs, "bns": bns}
+
+
+def build_int8_chains(model: nn.Module, variables, sample: jax.Array,
+                      act_scales: dict,
+                      config: Optional[QuantConfig] = None,
+                      apply_kwargs: Optional[dict] = None,
+                      verify_tol: float = 0.1) -> dict:
+    """Discover conv→conv chains where the producer can requantize.
+
+    Runs one concrete float forward recording every eligible conv's
+    input/output values; conv A chains to the next eligible conv B when
+    B's input *provably equals* ``relu(bn_A(A_out))`` (or ``bn_A(A_out)``)
+    elementwise — a dataflow identity, so nothing else computes on (or
+    consumes) a different version of that activation path. Chained
+    producers then emit saturating-requantized s8 with the ReLU fused
+    into the kernel epilogue (``ops/common.py::dequant_epilogue``): the
+    activation never exists in float in HBM (¼ the write traffic) and
+    the consumer's quantize pass disappears. Any model-code ReLU between
+    them becomes a no-op on the already-non-negative s8 values; the
+    folded BN is already identity.
+
+    Requires calibrated ``act_scales`` (the producer quantizes with the
+    consumer's scale). As a guard against any value-coincidence or
+    multi-consumer subtlety, the chained quantized program is verified
+    end-to-end against the unchained one on ``sample``; if the relative
+    output difference exceeds ``verify_tol`` the chains are discarded
+    (returns ``{}``) with a warning. TensorRT-style deployment-graph
+    optimization; the reference serves raw training graphs
+    (``/root/reference/demo.py:427``).
+    """
+    import warnings
+
+    cfg = config or QuantConfig()
+    folding = (cfg.bn_folding or {}).get("convs", {})
+    if apply_kwargs is None:
+        apply_kwargs = {"train": False}
+
+    records = []
+
+    def observer(next_fun, args, kwargs, context):
+        mod = context.module
+        if (context.method_name == "__call__" and args
+                and isinstance(args[0], jax.Array)
+                and type(mod) is nn.Conv and args[0].ndim >= 3
+                and not any(c in cfg.skip_paths
+                            for c in (mod.path or ()))
+                and _conv_eligible(mod, args[0], cfg)):
+            out = next_fun(*args, **kwargs)
+            records.append((tuple(mod.path), args[0], out))
+            return out
+        return next_fun(*args, **kwargs)
+
+    sample = jnp.asarray(sample)
+    with nn.intercept_methods(observer):
+        model.apply(variables, sample, **apply_kwargs)
+
+    def _matches(a, b):
+        return (a.shape == b.shape
+                and bool(jnp.allclose(a, b, rtol=1e-4, atol=1e-6)))
+
+    chains = {}
+    for (a_key, _, a_out), (b_key, b_in, _) in zip(records, records[1:]):
+        if b_key not in act_scales:
+            continue
+        t = a_out
+        fold = folding.get(a_key)
+        if fold is not None:
+            mult, shift = fold
+            t = a_out * mult + shift
+        if _matches(b_in, jnp.maximum(t, 0.0)):
+            chains[a_key] = (True, float(act_scales[b_key]))
+        elif _matches(b_in, t):
+            chains[a_key] = (False, float(act_scales[b_key]))
+    if not chains:
+        return {}
+
+    base = dataclasses.replace(cfg, act_scales=act_scales)
+    chained = dataclasses.replace(base, int8_chains=chains)
+    ref = quantized_apply(model, variables, sample, config=base,
+                          **apply_kwargs)
+    got = quantized_apply(model, variables, sample, config=chained,
+                          **apply_kwargs)
+    num = float(jnp.linalg.norm((got - ref).astype(jnp.float32)))
+    den = max(float(jnp.linalg.norm(ref.astype(jnp.float32))), 1e-12)
+    if num / den > verify_tol:
+        warnings.warn(
+            f"int8 chaining failed end-to-end verification "
+            f"(rel diff {num / den:.3f} > {verify_tol}); disabling",
+            stacklevel=2)
+        return {}
+    return chains
 
 
 def quantized_apply(model: nn.Module, variables, *args,

@@ -77,6 +77,7 @@ class Predictor:
             raise ValueError(f"unknown quantize mode {self.quantize!r}; "
                              "expected None or 'int8'")
         self._act_scales = None
+        self._int8_chains = None
         self._build_forward()
 
     def _build_forward(self):
@@ -96,9 +97,10 @@ class Predictor:
                      self.num_input_channels), jnp.float32)
                 folding = build_bn_folding(self.model, self._variables,
                                            dummy)
-            interceptor = make_int8_interceptor(
-                QuantConfig(act_scales=self._act_scales,
-                            bn_folding=folding))
+            self._quant_config = QuantConfig(
+                act_scales=self._act_scales, bn_folding=folding,
+                int8_chains=self._int8_chains)
+            interceptor = make_int8_interceptor(self._quant_config)
 
             @jax.jit
             def _forward(variables, images):
@@ -152,11 +154,15 @@ class Predictor:
         (any count; batched at the compiled batch size) and rebuilds the
         forward so every layer uses its fixed calibrated scale — removing
         the dynamic per-batch amax pass (an extra full HBM read of every
-        activation tensor). Returns the number of calibrated layers.
+        activation tensor). With the scales known, conv→conv chains
+        (``build_int8_chains``) also activate: chained producers emit
+        requantized s8 directly, ReLU fused, verified end-to-end against
+        the unchained program before use. Returns the number of
+        calibrated layers.
         """
         if self.quantize != "int8":
             raise ValueError("calibrate() requires quantize='int8'")
-        from .quant import calibrate_act_scales
+        from .quant import build_int8_chains, calibrate_act_scales
 
         x = (np.asarray(images, np.float32) if preprocessed
              else self.preprocess(images))
@@ -170,6 +176,9 @@ class Predictor:
                    for i in range(0, x.shape[0], self.batch_size)]
         self._act_scales = calibrate_act_scales(
             self.model, self._variables, batches)
+        self._int8_chains = build_int8_chains(
+            self.model, self._variables, batches[0], self._act_scales,
+            config=self._quant_config) or None
         self._build_forward()
         return len(self._act_scales)
 

@@ -548,3 +548,58 @@ class TestBNFolding:
                                    config=QuantConfig(min_contraction=1),
                                    apply_kwargs={})
         assert folding["convs"] == {} and folding["bns"] == set()
+
+
+class TestInt8Chains:
+    def _setup(self):
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.quant import (
+            build_bn_folding, build_int8_chains, calibrate_act_scales)
+
+        model = get_model("resnet18", "gap_only", 3)
+        x = jnp.asarray(np.random.default_rng(11)
+                        .standard_normal((2, 32, 32, 3)), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        base = QuantConfig(use_mxu_gemm=False)
+        folding = build_bn_folding(model, v, x, config=base)
+        cfg_fold = QuantConfig(use_mxu_gemm=False, bn_folding=folding)
+        scales = calibrate_act_scales(model, v, [x], config=cfg_fold)
+        chains = build_int8_chains(model, v, x, scales, config=cfg_fold)
+        return model, v, x, folding, scales, chains
+
+    def test_chains_discovered_on_resnet18(self):
+        model, v, x, folding, scales, chains = self._setup()
+        # conv1 -> bn1 -> relu -> conv2 inside each of the 8 basic
+        # blocks is the chainable pattern; block outputs (adds) are not
+        assert len(chains) == 8, sorted(chains)
+        assert all(relu for relu, _ in chains.values())
+        assert all(k[-1] == "conv1" for k in chains)
+
+    def test_chained_close_to_unchained(self):
+        from neighbour_feature_pooling_tpu.quant import quantized_apply
+
+        model, v, x, folding, scales, chains = self._setup()
+        assert chains, "verification must not have discarded the chains"
+        base = QuantConfig(use_mxu_gemm=False, bn_folding=folding,
+                           act_scales=scales)
+        cfg = QuantConfig(use_mxu_gemm=False, bn_folding=folding,
+                          act_scales=scales, int8_chains=chains)
+        ref = np.asarray(quantized_apply(model, v, x, train=False,
+                                         config=base))
+        got = np.asarray(quantized_apply(model, v, x, train=False,
+                                         config=cfg))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.05, rel
+
+    def test_chained_mxu_route_bit_identical(self):
+        from neighbour_feature_pooling_tpu.quant import quantized_apply
+
+        model, v, x, folding, scales, chains = self._setup()
+        outs = {}
+        for mxu in (False, True):
+            cfg = QuantConfig(use_mxu_gemm=mxu, bn_folding=folding,
+                              act_scales=scales, int8_chains=chains)
+            outs[mxu] = np.asarray(quantized_apply(model, v, x,
+                                                   train=False,
+                                                   config=cfg))
+        np.testing.assert_array_equal(outs[True], outs[False])
