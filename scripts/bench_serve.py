@@ -31,12 +31,19 @@ def main() -> None:
     ap.add_argument("--int8", action="store_true",
                     help="post-training int8 path (quant.py): s8*s8->s32 "
                          "on the MXU, 2x bf16 peak on v5e")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="int8 only: static activation calibration + "
+                         "verified conv->conv s8 chaining before timing")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "bench_serve.jsonl"))
+    ap.add_argument("--cpu", action="store_true",
+                    help="smoke-test on the CPU backend")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -52,6 +59,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = rng.standard_normal(
         (args.batch, args.img, args.img, 3)).astype(np.float32)
+    n_chains = 0
+    if args.calibrate:
+        if not args.int8:
+            raise SystemExit("--calibrate requires --int8")
+        n = pred.calibrate(x, preprocessed=True)
+        n_chains = len(pred._int8_chains or {})
+        print(json.dumps({"calibrated_layers": n,
+                          "int8_chains": n_chains}), flush=True)
 
     # request-path latency: one predict() call = one host sync
     for _ in range(args.warmup):
@@ -83,8 +98,10 @@ def main() -> None:
     rec = {
         "model": f"{args.model_type}+{args.variant}",
         "batch": args.batch, "img": args.img,
-        "dtype": ("int8" if args.int8 else
+        "dtype": ("int8_calib" if (args.int8 and args.calibrate)
+                  else "int8" if args.int8 else
                   "bf16" if args.bf16 else "fp32"),
+        "int8_chains": n_chains,
         "predict_p50_ms": round(p50, 2),
         "predict_p95_ms": round(p95, 2),
         "predict_img_per_s": round(args.batch / (p50 / 1e3), 1),

@@ -48,6 +48,8 @@ run conv_small python scripts/bench_int8_conv.py --batch 128 \
 
 # 5. end-to-end serving: int8 (now MXU-routed) vs bf16, three families
 run serve_int8 python scripts/bench_serve.py --int8 --batch 128 --iters 10
+run serve_int8_calib python scripts/bench_serve.py --int8 --calibrate \
+  --batch 128 --iters 10
 run serve_bf16 python scripts/bench_serve.py --bf16 --batch 128 --iters 10
 run serve_rn50_int8 python scripts/bench_serve.py --model_type resnet50 \
   --int8 --batch 128 --iters 10
