@@ -603,3 +603,28 @@ class TestInt8Chains:
                                                    train=False,
                                                    config=cfg))
         np.testing.assert_array_equal(outs[True], outs[False])
+
+    @pytest.mark.parametrize("mtype,n_chains", [
+        ("resnet50", 32),     # conv1->conv2->conv3 in all 16 bottlenecks
+        ("mobilenetv3", 0),   # false chains (multi-consumer linear conv
+        #                       feeding the residual add) MUST be caught
+        #                       by the end-to-end guard and discarded
+    ])
+    def test_chain_coverage(self, mtype, n_chains):
+        import warnings
+
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.quant import (
+            build_bn_folding, build_int8_chains, calibrate_act_scales)
+
+        model = get_model(mtype, "gap_only", 3)
+        x = jnp.asarray(np.random.default_rng(12)
+                        .standard_normal((1, 64, 64, 3)), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        folding = build_bn_folding(model, v, x)
+        cfg = QuantConfig(use_mxu_gemm=False, bn_folding=folding)
+        scales = calibrate_act_scales(model, v, [x], config=cfg)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            chains = build_int8_chains(model, v, x, scales, config=cfg)
+        assert len(chains) == n_chains
