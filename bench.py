@@ -105,6 +105,35 @@ def measure_tpu_train(batch=128, k=4, iters=8, warmup=2):
     return batch * k * iters / (time.perf_counter() - t0)
 
 
+def measure_tpu_serve_int8(batch=BATCH, iters=20, warmup=3):
+    """int8 serving device rate (round-3 Pallas MXU kernels + BN folding,
+    dynamic activation scales — ONE compile; the calibrated + chained
+    tier is measured by scripts/bench_serve.py --int8 --calibrate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neighbour_feature_pooling_tpu.serve import Predictor
+
+    pred = Predictor("resnet18", "texture_nfp", 21, batch_size=batch,
+                     input_size=IMG, quantize="int8")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch, IMG, IMG, 3)).astype(np.float32)
+    xd = jnp.asarray(x)
+    f = pred._forward
+    chain = jax.jit(lambda v, xx, ss: ss + jnp.sum(f(v, xx + ss * 0)))
+    s = jnp.zeros(())
+    for _ in range(warmup):
+        s = chain(pred._variables, xd, s)
+    float(s)
+    s = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = chain(pred._variables, xd, s)
+    float(s)
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def measure_torch_cpu_baseline(batch=32, iters=5, warmup=2):
     """PyTorch CPU reference: standard ResNet18 features + the reference's
     NFPPooling (imported read-only from /root/reference) + fusion head."""
@@ -217,6 +246,12 @@ def main():
         record["train_img_per_s_bf16"] = round(measure_tpu_train(), 1)
     except Exception as e:  # the headline metric must survive regardless
         print(f"# train measurement failed: {e}", file=sys.stderr)
+    if os.environ.get("NFP_TPU_BENCH_INT8", "1") != "0":
+        try:
+            record["serve_int8_img_per_s"] = round(
+                measure_tpu_serve_int8(), 1)
+        except Exception as e:  # optional metric — never break the line
+            print(f"# int8 serve measurement failed: {e}", file=sys.stderr)
     print(json.dumps(record))
 
 

@@ -571,24 +571,37 @@ def build_int8_chains(model: nn.Module, variables, sample: jax.Array,
     if apply_kwargs is None:
         apply_kwargs = {"train": False}
 
-    records = []
+    # one row is enough to prove/refute value identity, and it keeps the
+    # captured conv activations (all of them, returned from the jit) small
+    sample = jnp.asarray(sample)[:1]
+    keys = []
 
-    def observer(next_fun, args, kwargs, context):
-        mod = context.module
-        if (context.method_name == "__call__" and args
-                and isinstance(args[0], jax.Array)
-                and type(mod) is nn.Conv and args[0].ndim >= 3
-                and not any(c in cfg.skip_paths
-                            for c in (mod.path or ()))
-                and _conv_eligible(mod, args[0], cfg)):
-            out = next_fun(*args, **kwargs)
-            records.append((tuple(mod.path), args[0], out))
-            return out
-        return next_fun(*args, **kwargs)
+    def _collect(v, x):
+        keys.clear()   # trace-time: stays correct if jit ever retraces
+        vals = []
 
-    sample = jnp.asarray(sample)
-    with nn.intercept_methods(observer):
-        model.apply(variables, sample, **apply_kwargs)
+        def observer(next_fun, args, kwargs, context):
+            mod = context.module
+            if (context.method_name == "__call__" and args
+                    and isinstance(args[0], jax.Array)
+                    and type(mod) is nn.Conv and args[0].ndim >= 3
+                    and not any(c in cfg.skip_paths
+                                for c in (mod.path or ()))
+                    and _conv_eligible(mod, args[0], cfg)):
+                out = next_fun(*args, **kwargs)
+                keys.append(tuple(mod.path))
+                vals.append((args[0], out))
+                return out
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(observer):
+            model.apply(v, x, **apply_kwargs)
+        return vals
+
+    # jitted: op-by-op dispatch of a whole backbone through the TPU relay
+    # would pay a ~20 ms round trip per op (CLAUDE.md)
+    vals = jax.jit(_collect)(variables, sample)
+    records = [(k, xv, yv) for k, (xv, yv) in zip(keys, vals)]
 
     def _matches(a, b):
         return (a.shape == b.shape
@@ -612,10 +625,10 @@ def build_int8_chains(model: nn.Module, variables, sample: jax.Array,
 
     base = dataclasses.replace(cfg, act_scales=act_scales)
     chained = dataclasses.replace(base, int8_chains=chains)
-    ref = quantized_apply(model, variables, sample, config=base,
-                          **apply_kwargs)
-    got = quantized_apply(model, variables, sample, config=chained,
-                          **apply_kwargs)
+    ref = jax.jit(lambda v, x: quantized_apply(
+        model, v, x, config=base, **apply_kwargs))(variables, sample)
+    got = jax.jit(lambda v, x: quantized_apply(
+        model, v, x, config=chained, **apply_kwargs))(variables, sample)
     num = float(jnp.linalg.norm((got - ref).astype(jnp.float32)))
     den = max(float(jnp.linalg.norm(ref.astype(jnp.float32))), 1e-12)
     if num / den > verify_tol:
