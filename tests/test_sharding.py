@@ -197,10 +197,19 @@ class TestNFPCustomPartitioning:
 
 def test_multiprocess_dryrun_two_hosts():
     """True multi-host smoke: 2 subprocesses x 4 virtual CPU devices,
-    jax.distributed over localhost, same jitted train step."""
+    jax.distributed over localhost, same jitted train step.
+
+    One retry on a fresh coordinator port: Gloo's context init has a
+    hardcoded 30 s key-exchange window, and on a heavily oversubscribed
+    host one worker can get starved past it even after the
+    compile-then-barrier hardening (observed only when other test
+    suites run concurrently)."""
     import __graft_entry__ as g
 
-    g.dryrun_multichip(8, num_processes=2, coordinator_port=56917)
+    try:
+        g.dryrun_multichip(8, num_processes=2, coordinator_port=56917)
+    except AssertionError:
+        g.dryrun_multichip(8, num_processes=2, coordinator_port=56931)
 
 
 def test_trainer_mesh_with_device_resident_data(tmp_path):
