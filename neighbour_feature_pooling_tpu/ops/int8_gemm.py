@@ -159,16 +159,19 @@ def int8_gemm(a: jax.Array, b: jax.Array,
     return out
 
 
+def _best_tile(x: int, cands: Tuple[int, ...]) -> int:
+    """Largest candidate tile within 5% padding overhead of the best —
+    a pow2-rounding default would pad e.g. N=576 (the ViT-Tiny
+    fused-QKV width) to 1024, 78% wasted MXU work; 128-tiles pad it to
+    640, and for a huge well-aligned M the 5% slack keeps the big tile."""
+    pad = {t: x + (-x) % t for t in cands}
+    floor = min(pad.values())
+    return max(t for t in cands if pad[t] <= 1.05 * floor)
+
+
 def _default_tiles(m: int, n: int, k: int) -> Tuple[int, int, int]:
     """Tile heuristic (swept on v5e-1, scripts/bench_int8_gemm.py)."""
-    tm = min(512, max(32, _round_pow2(m)))
-    tn = min(512, max(128, _round_pow2(n)))
-    tk = min(2048, max(128, _round_pow2(k)))
+    tm = _best_tile(m, (512, 256, 128, 64, 32))
+    tn = _best_tile(n, (512, 256, 128))
+    tk = _best_tile(k, (2048, 1024, 512, 256, 128))
     return tm, tn, tk
-
-
-def _round_pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p <<= 1
-    return p
