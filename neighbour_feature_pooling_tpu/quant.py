@@ -54,7 +54,7 @@ from .ops.int8_gemm import int8_gemm
 
 __all__ = ["QuantConfig", "build_bn_folding", "build_int8_chains",
            "calibrate_act_scales", "make_int8_interceptor",
-           "quantized_apply"]
+           "prequantize_weights", "quantized_apply"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,6 +157,64 @@ def _quantize_act(x: jax.Array, act_scale: Optional[float],
     return q, s
 
 
+def prequantize_weights(variables, config: Optional[QuantConfig] = None):
+    """Quantize every candidate kernel ONCE, outside the serving loop.
+
+    Walks ``variables["params"]`` and emits an ``"int8w"`` collection
+    mirroring the param tree: each 2-D (Dense) or 4-D (Conv) ``kernel``
+    whose contraction is ≥ ``min_contraction`` (and not under a skip
+    path) gets ``{"wq": int8, "ws": f32}`` — the same per-output-channel
+    symmetric quantization the interceptor would compute in the jitted
+    forward. Layers the interceptor finds ineligible at trace time
+    (grouped convs, dilation, circular padding …) simply never read
+    their entry.
+
+    Merge the result into the apply variables
+    (``{**variables, "int8w": prequantize_weights(variables)}``):
+    quantized layers then skip the per-call weight read + amax/round
+    pass (one full sweep of the ~11–25 M weight values per batch) and
+    use the prebaked s8 tensors. Same ``_quantize`` on the same values —
+    bit-identical to the dynamic path up to 1-ulp scale differences from
+    XLA reassociating the in-jit amax reductions.
+    """
+    cfg = config or QuantConfig()
+
+    def walk(tree, path):
+        out = {}
+        for name, v in tree.items():
+            if name in cfg.skip_paths:
+                continue
+            if isinstance(v, dict) or hasattr(v, "items"):
+                sub = walk(v, path + (name,))
+                if sub:
+                    out[name] = sub
+            elif (name == "kernel" and hasattr(v, "ndim")
+                  and v.ndim in (2, 4)):
+                contraction = 1
+                for d in v.shape[:-1]:
+                    contraction *= d
+                if contraction < cfg.min_contraction:
+                    continue
+                wq, ws = _quantize(jnp.asarray(v),
+                                   axes=tuple(range(v.ndim - 1)))
+                out["wq"], out["ws"] = wq, ws
+        return out
+
+    return walk(variables.get("params", {}), ())
+
+
+def _weights_int8(mod, kshape, param_dtype) -> Tuple[jax.Array, jax.Array]:
+    """Fetch the layer's quantized weights: the prebaked ``"int8w"``
+    entry when present (see :func:`prequantize_weights`), else quantize
+    the fp32 kernel param in-line (dynamic path, one weight sweep per
+    call)."""
+    wq = mod.get_variable("int8w", "wq", None)
+    if wq is not None and wq.shape == kshape:
+        return wq, mod.get_variable("int8w", "ws")
+    kernel = mod.param("kernel", mod.kernel_init, kshape, param_dtype)
+    return _quantize(kernel, axes=tuple(range(kernel.ndim - 1)))
+
+
 def _conv_eligible(mod: nn.Conv, x: jax.Array, cfg: QuantConfig) -> bool:
     if mod.feature_group_count != 1:
         return False  # depthwise/grouped: no dense contraction to speed up
@@ -211,12 +269,11 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
     ksize = _canon_tuple(mod.kernel_size, nd)
     in_features = x.shape[-1]
     kshape = ksize + (in_features, mod.features)
-    kernel = mod.param("kernel", mod.kernel_init, kshape, mod.param_dtype)
     bias = (mod.param("bias", mod.bias_init, (mod.features,),
                       mod.param_dtype)
             if mod.use_bias else None)
 
-    wq, ws = _quantize(kernel, axes=tuple(range(kernel.ndim - 1)))
+    wq, ws = _weights_int8(mod, kshape, mod.param_dtype)
     xq, xs = _quantize_act(x, act_scale)
     strides = _canon_tuple(mod.strides, nd)
 
@@ -293,12 +350,11 @@ def _dense_int8(mod: nn.Dense, x: jax.Array,
                 act_scale: Optional[float] = None) -> jax.Array:
     cfg = cfg or QuantConfig()
     in_features = x.shape[-1]
-    kernel = mod.param("kernel", mod.kernel_init,
-                       (in_features, mod.features), mod.param_dtype)
     bias = (mod.param("bias", mod.bias_init, (mod.features,),
                       mod.param_dtype)
             if mod.use_bias else None)
-    wq, ws = _quantize(kernel, axes=(0,))
+    wq, ws = _weights_int8(mod, (in_features, mod.features),
+                           mod.param_dtype)
     xq, xs = _quantize_act(x, act_scale)
     if cfg._mxu():
         y = int8_gemm(xq.reshape(-1, in_features), wq,

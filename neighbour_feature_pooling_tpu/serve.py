@@ -76,6 +76,14 @@ class Predictor:
         if self.quantize not in (None, "int8"):
             raise ValueError(f"unknown quantize mode {self.quantize!r}; "
                              "expected None or 'int8'")
+        if self.quantize == "int8":
+            # weight pre-quantization: bake the per-channel s8 weights +
+            # scales once at build; serving calls skip the per-batch
+            # weight sweep (read + amax + round of every kernel).
+            # Bit-identical to in-line quantization (quant.py).
+            from .quant import prequantize_weights
+
+            self._variables["int8w"] = prequantize_weights(self._variables)
         self._act_scales = None
         self._int8_chains = None
         self._build_forward()

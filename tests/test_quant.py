@@ -178,6 +178,74 @@ class TestModelLevel:
         assert rel < 0.12, f"{mtype}: rel logit err {rel}"
 
 
+class TestPrequantize:
+    """Weight pre-quantization (quant.prequantize_weights): the baked
+    ``"int8w"`` collection must reproduce the dynamic in-jit weight
+    quantization bit-for-bit, and the Predictor must install it."""
+
+    def test_bit_identical_to_dynamic(self):
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.quant import prequantize_weights
+
+        model = get_model("resnet18", "texture_nfp", 3)
+        x = jnp.asarray(np.random.default_rng(3)
+                        .standard_normal((2, 32, 32, 3)), jnp.float32)
+        v = dict(model.init({"params": jax.random.PRNGKey(0)}, x[:1],
+                            train=False))
+        dyn = np.asarray(quantized_apply(model, v, x, train=False))
+        qw = prequantize_weights(v)
+        pre = np.asarray(quantized_apply(model, {**v, "int8w": qw}, x,
+                                         train=False))
+        np.testing.assert_array_equal(dyn, pre)
+
+    def test_collection_respects_policy(self):
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.quant import prequantize_weights
+
+        model = get_model("resnet18", "gap_only", 3)
+        v = model.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 32, 32, 3)), train=False)
+        qw = prequantize_weights(dict(v))
+
+        paths = []
+
+        def flatten(tree, path):
+            for k, sub in tree.items():
+                if k == "wq":
+                    paths.append(path)
+                elif isinstance(sub, dict):
+                    flatten(sub, path + (k,))
+
+        flatten(qw, ())
+        assert len(paths) >= 15          # the resnet18 conv stack
+        assert all("fc" not in p for p in paths)   # classifier stays fp32
+        for p in paths:                  # baked tensors are s8 + f32 scale
+            node = qw
+            for comp in p:
+                node = node[comp]
+            assert node["wq"].dtype == jnp.int8
+            assert node["ws"].dtype == jnp.float32
+
+    def test_predictor_installs_and_matches_dynamic(self):
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        kw = dict(num_classes=4, batch_size=4, input_size=32,
+                  resize_size=36, quantize="int8")
+        pre = Predictor("resnet18", "gap_only", **kw)
+        assert "int8w" in pre._variables
+        dyn = Predictor("resnet18", "gap_only", **kw)
+        dyn._variables.pop("int8w")      # force the in-jit dynamic path
+        rng = np.random.default_rng(0)
+        imgs = [rng.random((36, 36, 3)).astype(np.float32)
+                for _ in range(3)]
+        a = pre.predict(imgs)["probabilities"]
+        b = dyn.predict(imgs)["probabilities"]
+        # not bit-equal here: the dynamic path's amax reductions run
+        # inside jit where XLA may reassociate, so the scale can differ
+        # by 1 ulp from the eagerly prebaked one
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 class TestPredictorIntegration:
     def test_predictor_int8_runs_and_tracks_fp32(self):
         from neighbour_feature_pooling_tpu.serve import Predictor
