@@ -246,7 +246,11 @@ def main():
         record["train_img_per_s_bf16"] = round(measure_tpu_train(), 1)
     except Exception as e:  # the headline metric must survive regardless
         print(f"# train measurement failed: {e}", file=sys.stderr)
-    if os.environ.get("NFP_TPU_BENCH_INT8", "1") != "0":
+    # Opt-in: the 2026-08-18 hardware session measured dynamic-int8
+    # serving at 0.32× bf16 end-to-end (bench_serve.jsonl; PARITY.md
+    # "int8 MXU kernels — measured") — not worth a relay compile per
+    # bench run by default.
+    if os.environ.get("NFP_TPU_BENCH_INT8", "0") == "1":
         try:
             record["serve_int8_img_per_s"] = round(
                 measure_tpu_serve_int8(), 1)

@@ -144,7 +144,15 @@ def _conv_flat(xg: jax.Array, w: jax.Array, kh: int, kw: int, wp: int,
         out_specs=pl.BlockSpec((1, n_rows, tcout), lambda i, j: (i, 0, j)),
         out_shape=jax.ShapeDtypeStruct((g, n_rows, cout), odt),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            # The dx-factored tap slicing materializes relayout copies of
+            # the whole row window; at large Cin (s2d-folded strided
+            # layers, e.g. ResNet50 layer3 conv2: Cin=1024) that pushes
+            # the scoped stack past Mosaic's default 16 MiB and the
+            # compile aborts. v5e has 128 MiB VMEM; 80 MiB leaves
+            # double-buffer headroom. Measured demand at the worst
+            # ResNet50 tap: 19.35 MiB.
+            vmem_limit_bytes=80 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 

@@ -66,11 +66,15 @@ class QuantConfig:
     bandwidth/overhead-bound and int8 only adds rounding error.
     ``skip_paths``: module-path components kept fp32 (default: the
     classifier head).
-    ``use_mxu_gemm``: route dense layers and 1×1 convs through the tuned
-    Pallas int8 GEMM (``ops/int8_gemm.py``), which reaches the MXU's
-    int8 mode that XLA's own int8 lowering misses (measured 1.9× the
-    bf16 matmul on v5e vs 0.73× for XLA int8 — PARITY.md round 3).
-    ``None`` = auto: on when running on TPU.
+    ``use_mxu_gemm``: route dense layers, 1×1 convs and spatial convs
+    through the Pallas int8 kernels (``ops/int8_gemm.py`` /
+    ``ops/int8_conv.py``). ``None`` = auto, currently **off
+    everywhere**: the 2026-08-18 v5e session measured the Pallas route
+    at 0.79–0.86× XLA bf16 (GEMM 82.8 vs 104.6 TOPS at 4096³) and
+    0.55–0.87× on the ResNet conv shapes, and end-to-end serving fell
+    to 6.3k img/s vs 22.3k on the plain XLA s8 route (PARITY.md "int8
+    MXU kernels — measured"). The kernels stay available (bit-exact,
+    tile-tunable) for hardware where Mosaic's int8 mode wins.
     ``act_scales``: static activation scales from
     :func:`calibrate_act_scales` (``{layer_key: float}``); layers found
     in the dict skip the dynamic per-batch amax pass.
@@ -94,7 +98,7 @@ class QuantConfig:
 
     def _mxu(self) -> bool:
         if self.use_mxu_gemm is None:
-            return jax.default_backend() == "tpu"
+            return False  # measured slower than XLA on v5e; see docstring
         return self.use_mxu_gemm
 
 
