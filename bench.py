@@ -106,9 +106,10 @@ def measure_tpu_train(batch=128, k=4, iters=8, warmup=2):
 
 
 def measure_tpu_serve_int8(batch=BATCH, iters=20, warmup=3):
-    """int8 serving device rate (round-3 Pallas MXU kernels + BN folding,
-    dynamic activation scales — ONE compile; the calibrated + chained
-    tier is measured by scripts/bench_serve.py --int8 --calibrate)."""
+    """int8 serving device rate (XLA s8 route: dot-lowered 1×1 convs,
+    prequantized weights, BN folding, dynamic activation scales — ONE
+    compile; the calibrated + chained tier is measured by
+    scripts/bench_serve.py --int8 --calibrate)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
