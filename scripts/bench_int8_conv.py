@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--tcout", type=int, default=0,
                     help="override the Cout tile (0 = heuristic)")
     ap.add_argument("--skip_baselines", action="store_true")
+    ap.add_argument("--skip_pallas", action="store_true")
+    ap.add_argument("--xla_rewrites", action="store_true",
+                    help="also time two pure-XLA s8 lowerings that avoid "
+                         "XLA's slow s8 conv: per-tap dot_general sum and "
+                         "im2col + one GEMM (s8 dot_general measured "
+                         "1.04x bf16 on v5e vs 0.73x for s8 conv)")
     ap.add_argument("--out",
                     default=os.path.join(REPO, "bench_int8_conv.jsonl"))
     ap.add_argument("--cpu", action="store_true",
@@ -79,14 +85,49 @@ def main() -> None:
         w8 = jnp.asarray(rng.integers(-127, 128, (3, 3, Cin, Cout)),
                          jnp.int8)
 
-        t = timed(lambda x, w: int8_conv2d(
-            x, w, padding="SAME",
-            tcout=args.tcout or None).astype(jnp.float32), x8, w8)
-        records.append({"shape": name, "batch": B, "kind": "pallas_int8",
-                        "tcout": args.tcout or "auto",
-                        "ms": round(t * 1e3 / args.iters, 3),
-                        "tops": round(flops / t / 1e12, 1)})
-        print(json.dumps(records[-1]), flush=True)
+        if not args.skip_pallas:
+            t = timed(lambda x, w: int8_conv2d(
+                x, w, padding="SAME",
+                tcout=args.tcout or None).astype(jnp.float32), x8, w8)
+            records.append({"shape": name, "batch": B,
+                            "kind": "pallas_int8",
+                            "tcout": args.tcout or "auto",
+                            "ms": round(t * 1e3 / args.iters, 3),
+                            "tops": round(flops / t / 1e12, 1)})
+            print(json.dumps(records[-1]), flush=True)
+
+        if args.xla_rewrites:
+            def taps_conv(x, w):
+                xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                acc = None
+                for dy in range(3):
+                    for dx in range(3):
+                        xs = xp[:, dy:dy + H, dx:dx + W, :]
+                        d = lax.dot_general(
+                            xs.reshape(-1, Cin), w[dy, dx],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        acc = d if acc is None else acc + d
+                return acc.reshape(B, H, W, Cout).astype(jnp.float32)
+
+            def im2col_conv(x, w):
+                xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                cols = jnp.concatenate(
+                    [xp[:, dy:dy + H, dx:dx + W, :]
+                     for dy in range(3) for dx in range(3)], axis=-1)
+                d = lax.dot_general(
+                    cols.reshape(-1, 9 * Cin), w.reshape(9 * Cin, Cout),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return d.reshape(B, H, W, Cout).astype(jnp.float32)
+
+            for kind, fn in (("xla_taps_int8", taps_conv),
+                             ("xla_im2col_int8", im2col_conv)):
+                t = timed(fn, x8, w8)
+                records.append({"shape": name, "batch": B, "kind": kind,
+                                "ms": round(t * 1e3 / args.iters, 3),
+                                "tops": round(flops / t / 1e12, 1)})
+                print(json.dumps(records[-1]), flush=True)
 
         if args.skip_baselines:
             continue
