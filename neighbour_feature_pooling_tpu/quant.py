@@ -54,7 +54,7 @@ from .ops.int8_gemm import int8_gemm
 
 __all__ = ["QuantConfig", "build_bn_folding", "build_int8_chains",
            "calibrate_act_scales", "make_int8_interceptor",
-           "prequantize_weights", "quantized_apply"]
+           "prequantize_weights", "quantized_apply", "strip_prequantized"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,13 +183,13 @@ def prequantize_weights(variables, config: Optional[QuantConfig] = None):
     """
     cfg = config or QuantConfig()
 
-    def walk(tree, path):
+    def walk(tree):
         out = {}
         for name, v in tree.items():
             if name in cfg.skip_paths:
                 continue
             if isinstance(v, dict) or hasattr(v, "items"):
-                sub = walk(v, path + (name,))
+                sub = walk(v)
                 if sub:
                     out[name] = sub
             elif (name == "kernel" and hasattr(v, "ndim")
@@ -199,12 +199,57 @@ def prequantize_weights(variables, config: Optional[QuantConfig] = None):
                     contraction *= d
                 if contraction < cfg.min_contraction:
                     continue
-                wq, ws = _quantize(jnp.asarray(v),
-                                   axes=tuple(range(v.ndim - 1)))
+                wq, ws = _quantize(v, axes=tuple(range(v.ndim - 1)))
                 out["wq"], out["ws"] = wq, ws
         return out
 
-    return walk(variables.get("params", {}), ())
+    # one jitted sweep: the eager walk would dispatch ~7 ops per kernel,
+    # each paying a relay round trip (cf. the jitted _collect in
+    # calibrate_act_scales, same reasoning)
+    return jax.jit(walk)(variables.get("params", {}))
+
+
+def strip_prequantized(variables, replaced):
+    """Serving variables without the dead fp32 kernels.
+
+    ``replaced`` — the module paths a trace of the quantized program
+    actually replaced (``make_int8_interceptor(replaced=[...])``). For
+    each such Conv/Dense whose ``"int8w"`` entry is baked
+    (:func:`prequantize_weights`), the quantized forward reads only
+    ``wq``/``ws`` — its fp32 ``kernel`` is a dead jit input that would
+    still be transferred, replicated under data-parallel serving, and
+    serialized into AOT export artifacts (5× the weight bytes actually
+    needed). Returns a new variables dict with those kernels dropped;
+    everything else (biases, BN stats, ineligible layers, the attention
+    projections — which quantize in-line from the module's own fp32
+    weights) is kept. The full tree remains necessary for calibration
+    (the observe pass runs the float model) — keep it host-side.
+    """
+    int8w = variables.get("int8w")
+    if not int8w:
+        return variables
+    # conv/dense keys are plain module paths; attention-proj keys carry a
+    # synthetic "proj_*" tail and never correspond to a baked entry
+    strip = set()
+    for key in replaced:
+        node = int8w
+        for comp in key:
+            node = node.get(comp) if isinstance(node, dict) else None
+            if node is None:
+                break
+        if isinstance(node, dict) and "wq" in node:
+            strip.add(tuple(key))
+
+    def walk(tree, path):
+        out = {}
+        for name, v in tree.items():
+            if isinstance(v, dict) or hasattr(v, "items"):
+                out[name] = walk(v, path + (name,))
+            elif not (name == "kernel" and path in strip):
+                out[name] = v
+        return out
+
+    return {**variables, "params": walk(variables.get("params", {}), ())}
 
 
 def _weights_int8(mod, kshape, param_dtype) -> Tuple[jax.Array, jax.Array]:
@@ -264,9 +309,12 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
     Declares the same ``kernel``/``bias`` params (names, shapes, inits) as
     flax so the variable tree is indistinguishable from the fp32 model.
     1×1 convs (the majority of ResNet50/MobileNetV3 contraction FLOPs)
-    additionally lower onto the Pallas MXU-int8 GEMM when ``cfg._mxu()``:
-    subsample by the stride, flatten pixels to GEMM rows — bit-identical
-    s32 accumulation, ~1.9× the bf16 matmul rate (PARITY.md round 3).
+    lower as subsample-then-GEMM (exact for a 1×1 kernel under any
+    stride): s8 ``dot_general`` on the default route (measured 1.04×
+    bf16 on v5e, vs 0.73× for XLA's s8 conv), or the opt-in Pallas
+    int8 GEMM when ``cfg._mxu()`` (measured 0.79–0.86× bf16 — see the
+    ``QuantConfig`` docstring and PARITY.md "int8 MXU kernels —
+    measured").
     """
     cfg = cfg or QuantConfig()
     nd = x.ndim - 2
@@ -307,15 +355,22 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
         bias_vec = None if bias_vec is None else bias_vec / cs
         out_dt = jnp.int8
 
-    if (cfg._mxu() and all(k == 1 for k in ksize)
-            and _is_zero_padding(mod.padding, ksize)):
+    if all(k == 1 for k in ksize) and _is_zero_padding(mod.padding, ksize):
+        # 1×1, zero border: subsample-then-GEMM is exact under any
+        # stride. Pallas int8 GEMM when opted in, else XLA s8
+        # dot_general (measured 1.04× bf16 on v5e vs 0.73× for XLA's
+        # s8 conv — PARITY.md "int8 MXU kernels — measured").
         sub = (slice(None),) + tuple(slice(None, None, s) for s in strides)
         xsub = xq[sub]
-        y = int8_gemm(xsub.reshape(-1, in_features),
-                      wq.reshape(in_features, mod.features),
-                      scale=scale_vec, bias=bias_vec,
-                      out_dtype=out_dt, relu=relu_flag)
-        return y.reshape(xsub.shape[:-1] + (mod.features,))
+        rows = xsub.reshape(-1, in_features)
+        wmat = wq.reshape(in_features, mod.features)
+        if cfg._mxu():
+            y = int8_gemm(rows, wmat, scale=scale_vec, bias=bias_vec,
+                          out_dtype=out_dt, relu=relu_flag)
+            return y.reshape(xsub.shape[:-1] + (mod.features,))
+        acc = lax.dot_general(rows, wmat, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        acc = acc.reshape(xsub.shape[:-1] + (mod.features,))
     elif (cfg._mxu() and nd == 2
           and in_features * strides[0] * strides[1] >= 32):
         # thin-channel layers (the RGB stem even after the s2d stride
@@ -328,20 +383,6 @@ def _conv_int8(mod: nn.Conv, x: jax.Array,
             xq, wq, padding=pad, strides=strides,
             scale=scale_vec, bias=bias_vec,
             out_dtype=out_dt, relu=relu_flag)
-    elif (all(k == 1 for k in ksize)
-          and _is_zero_padding(mod.padding, ksize)):
-        # XLA route, 1×1: lower as s8 dot_general — measured 1.04× bf16
-        # on v5e where XLA's s8 *conv* lowering runs at 0.73× (PARITY.md
-        # "int8 MXU kernels — measured"). Subsample-then-GEMM is exact
-        # for a 1×1 kernel under any stride.
-        sub = (slice(None),) + tuple(slice(None, None, s) for s in strides)
-        xsub = xq[sub]
-        acc = lax.dot_general(
-            xsub.reshape(-1, in_features),
-            wq.reshape(in_features, mod.features),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        acc = acc.reshape(xsub.shape[:-1] + (mod.features,))
     else:
         dn = lax.conv_dimension_numbers(x.shape, kshape,
                                         ("NHWC", "HWIO", "NHWC"))

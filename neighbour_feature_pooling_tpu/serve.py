@@ -78,9 +78,10 @@ class Predictor:
                              "expected None or 'int8'")
         if self.quantize == "int8":
             # weight pre-quantization: bake the per-channel s8 weights +
-            # scales once at build; serving calls skip the per-batch
-            # weight sweep (read + amax + round of every kernel).
-            # Bit-identical to in-line quantization (quant.py).
+            # scales once at build (one jitted sweep); serving calls
+            # skip the per-batch weight sweep (read + amax + round of
+            # every kernel). Same values as in-line quantization up to
+            # 1-ulp scale reassociation (quant.py).
             from .quant import prequantize_weights
 
             self._variables["int8w"] = prequantize_weights(self._variables)
@@ -116,11 +117,33 @@ class Predictor:
                     logits = self.model.apply(variables, images,
                                               train=False)
                 return jax.nn.softmax(logits, axis=-1)
+
+            # serve with the fp32 kernels of prequantized layers dropped
+            # (dead jit inputs otherwise — see quant.strip_prequantized):
+            # a shape-only probe trace records which layers the program
+            # actually quantizes
+            from .quant import strip_prequantized
+
+            replaced = []
+            probe = make_int8_interceptor(self._quant_config,
+                                          replaced=replaced)
+            probe_x = jnp.zeros((1, self.input_size, self.input_size,
+                                 self.num_input_channels), jnp.float32)
+
+            def _probe(variables, images):
+                with nn.intercept_methods(probe):
+                    return self.model.apply(variables, images, train=False)
+
+            jax.eval_shape(_probe, self._variables, probe_x)
+            self._serve_variables = strip_prequantized(self._variables,
+                                                       replaced)
         else:
             @jax.jit
             def _forward(variables, images):
                 logits = self.model.apply(variables, images, train=False)
                 return jax.nn.softmax(logits, axis=-1)
+
+            self._serve_variables = self._variables
 
         if self.data_parallel and jax.local_device_count() > 1:
             # data-parallel serving: params replicated once, every
@@ -144,8 +167,11 @@ class Predictor:
                     f"({self.batch_size}) divisible by the device count "
                     f"({mesh.devices.size})")
             self._mesh = mesh
-            self._variables = jax.device_put(
-                self._variables, replicated_sharding(mesh))
+            # replicate only the serving tree (stripped of dead fp32
+            # kernels under int8); the full tree stays host-side for
+            # calibrate()'s float observe pass
+            self._serve_variables = jax.device_put(
+                self._serve_variables, replicated_sharding(mesh))
             base = _forward
             _forward = jax.jit(jax.shard_map(
                 lambda v, x: base(v, x), mesh=mesh,
@@ -216,7 +242,7 @@ class Predictor:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], np.float32)])
-            probs = np.asarray(self._forward(self._variables,
+            probs = np.asarray(self._forward(self._serve_variables,
                                              jnp.asarray(chunk)))
             probs_out.append(probs[: self.batch_size - pad])
         probs = np.concatenate(probs_out)
@@ -252,7 +278,10 @@ def export_predictor(predictor: Predictor, path: str,
     if platforms is None:
         platforms = [jax.default_backend()]
 
-    flat, treedef = jax.tree_util.tree_flatten(predictor._variables)
+    # the serving tree: under int8 this omits the dead fp32 kernels of
+    # prequantized layers, so the artifact carries s8 weights (+ scales)
+    # instead of fp32+s8 for those layers
+    flat, treedef = jax.tree_util.tree_flatten(predictor._serve_variables)
 
     def forward_flat(leaves, images):
         variables = jax.tree_util.tree_unflatten(treedef, leaves)

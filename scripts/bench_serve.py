@@ -86,12 +86,12 @@ def main() -> None:
     s = jnp.zeros(())
     chain = jax.jit(lambda v, xx, ss: ss + jnp.sum(f(v, xx + ss * 0)))
     for _ in range(args.warmup):
-        s = chain(pred._variables, xd, s)
+        s = chain(pred._serve_variables, xd, s)
     float(s)
     s = jnp.zeros(())
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        s = chain(pred._variables, xd, s)
+        s = chain(pred._serve_variables, xd, s)
     float(s)
     dev_rate = args.batch * args.iters / (time.perf_counter() - t0)
 

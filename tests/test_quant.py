@@ -181,7 +181,8 @@ class TestModelLevel:
 class TestPrequantize:
     """Weight pre-quantization (quant.prequantize_weights): the baked
     ``"int8w"`` collection must reproduce the dynamic in-jit weight
-    quantization bit-for-bit, and the Predictor must install it."""
+    quantization (same values; scales may drift 1 ulp from amax
+    reassociation), and the Predictor must install + serve it."""
 
     def test_bit_identical_to_dynamic(self):
         from neighbour_feature_pooling_tpu.models import get_model
@@ -196,7 +197,11 @@ class TestPrequantize:
         qw = prequantize_weights(v)
         pre = np.asarray(quantized_apply(model, {**v, "int8w": qw}, x,
                                          train=False))
-        np.testing.assert_array_equal(dyn, pre)
+        # same _quantize on the same values, but prequantize runs its
+        # own jitted sweep whose amax reductions XLA may reassociate
+        # differently from the in-forward dynamic ones — scales can
+        # differ by 1 ulp, logits by ~1e-7
+        np.testing.assert_allclose(dyn, pre, atol=1e-6, rtol=1e-6)
 
     def test_collection_respects_policy(self):
         from neighbour_feature_pooling_tpu.models import get_model
@@ -235,6 +240,7 @@ class TestPrequantize:
         assert "int8w" in pre._variables
         dyn = Predictor("resnet18", "gap_only", **kw)
         dyn._variables.pop("int8w")      # force the in-jit dynamic path
+        dyn._build_forward()             # rebuild: full tree, no int8w
         rng = np.random.default_rng(0)
         imgs = [rng.random((36, 36, 3)).astype(np.float32)
                 for _ in range(3)]
@@ -245,6 +251,36 @@ class TestPrequantize:
         # by 1 ulp from the eagerly prebaked one
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_serving_tree_strips_dead_fp32_kernels(self):
+        """The serving variables drop the fp32 kernel of every layer the
+        quantized program replaced (its int8w twin is what the forward
+        reads); biases, BN stats and ineligible layers stay."""
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        pre = Predictor("resnet18", "gap_only", num_classes=4,
+                        batch_size=4, input_size=32, resize_size=36,
+                        quantize="int8")
+
+        def count(tree, name):
+            n = 0
+            for k, v in tree.items():
+                if isinstance(v, dict) or hasattr(v, "items"):
+                    n += count(v, name)
+                elif k == name:
+                    n += 1
+            return n
+
+        full = count(pre._variables["params"], "kernel")
+        served = count(pre._serve_variables["params"], "kernel")
+        baked = count(pre._variables["int8w"], "wq")
+        assert baked >= 15
+        assert served == full - baked          # exactly the baked ones
+        # batch_stats intact, and predict still runs on the stripped tree
+        assert pre._serve_variables["batch_stats"]
+        out = pre.predict([np.random.default_rng(0)
+                           .random((36, 36, 3)).astype(np.float32)])
+        assert np.all(np.isfinite(out["probabilities"]))
+
 
 class TestPredictorIntegration:
     def test_predictor_int8_runs_and_tracks_fp32(self):
@@ -254,8 +290,13 @@ class TestPredictorIntegration:
                   resize_size=36)
         fp = Predictor("resnet18", "texture_nfp", **kw)
         q = Predictor("resnet18", "texture_nfp", quantize="int8", **kw)
-        # same random init on both predictors
-        q._variables = fp._variables
+        # same random init on both predictors (rebuild so the baked
+        # int8w weights and the stripped serving tree track the swap)
+        from neighbour_feature_pooling_tpu.quant import prequantize_weights
+
+        q._variables = dict(fp._variables)
+        q._variables["int8w"] = prequantize_weights(q._variables)
+        q._build_forward()
         rng = np.random.default_rng(0)
         imgs = [rng.random((40, 40, 3)).astype(np.float32)
                 for _ in range(5)]

@@ -123,8 +123,8 @@ class TestDataParallelServing:
         from neighbour_feature_pooling_tpu.parallel.mesh import (
             replicated_sharding)
 
-        multi._variables = jax.device_put(
-            single._variables, replicated_sharding(multi._mesh))
+        multi._serve_variables = jax.device_put(
+            single._serve_variables, replicated_sharding(multi._mesh))
         rng = np.random.default_rng(0)
         imgs = [rng.random((36, 36, 3)).astype(np.float32)
                 for _ in range(11)]
