@@ -1,0 +1,228 @@
+"""Minimal production HTTP endpoint around :class:`serve.Predictor`.
+
+The reference's inference story stops at ``trainer.test``
+(``/root/reference/demo.py:427``); this module closes the serving loop:
+``Predictor`` (or a ``load_exported`` artifact) behind a dependency-free
+HTTP/JSON microservice — the stdlib-only analog of a TorchServe /
+TF-Serving endpoint, sized for the single-chip serving tier measured in
+PARITY.md (19.6k img/s/chip bf16 @ B=128).
+
+Routes:
+
+- ``GET /healthz``  → ``{"status": "ok"}`` once the model has warmed up
+  (the first compiled forward has run), 503 before that — suitable as a
+  readiness probe.
+- ``GET /metadata`` → model/batch/input-shape info.
+- ``POST /predict`` → body ``{"instances": [<HWC float image>, ...]}``
+  (nested JSON lists, values in [0, 1]) or ``{"npy_b64": <base64 of an
+  .npy (N,H,W,C) float32 array>}`` for efficient clients. Optional
+  ``"preprocessed": true`` skips the resize/normalize transform.
+  Response: ``{"probabilities": [[...], ...], "label": [...]}``.
+
+Requests are served one at a time (a lock serializes device access —
+the predictor already chunks/pads each request to its compiled batch
+size); the HTTP layer itself is threaded so health checks never queue
+behind inference.
+
+Usage::
+
+    python -m neighbour_feature_pooling_tpu.serve_http \
+        --model_type resnet18 --model_variant texture_nfp \
+        --num_classes 21 --checkpoint runs/exp/best --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["PredictionServer", "main"]
+
+
+class PredictionServer:
+    """HTTP wrapper for any object with the ``predict(images,
+    preprocessed=...)`` contract (``Predictor`` / ``ExportedPredictor``)."""
+
+    def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000,
+                 max_body_mb: int = 256):
+        self.predictor = predictor
+        self.host, self.port = host, port
+        self.max_body = max_body_mb * 1024 * 1024
+        self._lock = threading.Lock()     # serialize device access
+        self._ready = False
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # -- request handling ---------------------------------------------------
+
+    def _metadata(self) -> dict:
+        p = self.predictor
+        meta = {"batch_size": int(p.batch_size),
+                "num_classes": int(p.num_classes)}
+        for attr in ("model_type", "model_variant", "input_size",
+                     "num_input_channels", "quantize"):
+            if hasattr(p, attr):
+                meta[attr] = getattr(p, attr)
+        return meta
+
+    def _decode_body(self, payload: dict) -> np.ndarray:
+        if "npy_b64" in payload:
+            raw = base64.b64decode(payload["npy_b64"])
+            arr = np.load(io.BytesIO(raw), allow_pickle=False)
+            return np.asarray(arr, np.float32)
+        if "instances" in payload:
+            return np.asarray(payload["instances"], np.float32)
+        raise ValueError("body needs 'instances' or 'npy_b64'")
+
+    def _predict(self, payload: dict) -> dict:
+        x = self._decode_body(payload)
+        if x.ndim == 3:
+            x = x[None]
+        if x.ndim != 4:
+            raise ValueError(f"images must be (N,H,W,C), got {x.shape}")
+        with self._lock:
+            out = self.predictor.predict(
+                list(x), preprocessed=bool(payload.get("preprocessed")))
+        return {"probabilities": out["probabilities"].tolist(),
+                "label": out["label"].tolist()}
+
+    def warmup(self) -> None:
+        """Run one padded batch through the compiled forward so the first
+        real request never pays the compile; flips the readiness probe."""
+        p = self.predictor
+        size = getattr(p, "input_size", None)
+        if size is None:                      # exported artifact
+            size = int(p.meta["transform"]["input_size"])
+        ch = getattr(p, "num_input_channels", 3)
+        dummy = np.zeros((1, size, size, ch), np.float32)
+        with self._lock:
+            p.predict(list(dummy), preprocessed=True)
+        self._ready = True
+
+    # -- server lifecycle ---------------------------------------------------
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet by default; errors still go to stderr
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send(self, code: int, obj: dict):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    if server._ready:
+                        self._send(200, {"status": "ok"})
+                    else:
+                        self._send(503, {"status": "warming_up"})
+                elif self.path == "/metadata":
+                    self._send(200, server._metadata())
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._send(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    if n > server.max_body:
+                        self._send(413, {"error": "body too large"})
+                        return
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    self._send(200, server._predict(payload))
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:  # device/runtime failure
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        return Handler
+
+    def start(self, block: bool = True) -> int:
+        """Bind, warm up, serve. ``block=False`` serves from a daemon
+        thread and returns the bound port (use port=0 for an ephemeral
+        one — handy in tests)."""
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self._make_handler())
+        self.port = self._httpd.server_address[1]
+        self.warmup()
+        if block:
+            try:
+                self._httpd.serve_forever()
+            finally:
+                self._httpd.server_close()
+        else:
+            t = threading.Thread(target=self._httpd.serve_forever,
+                                 daemon=True)
+            t.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--model_type", default="resnet18")
+    ap.add_argument("--model_variant", default="texture_nfp")
+    ap.add_argument("--num_classes", type=int, required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help="training checkpoint prefix (save_checkpoint)")
+    ap.add_argument("--exported", default=None,
+                    help="serve a load_exported artifact directory "
+                         "instead of building the model")
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--input_size", type=int, default=224)
+    ap.add_argument("--resize_size", type=int, default=256)
+    ap.add_argument("--quantize", choices=["int8"], default=None)
+    ap.add_argument("--calibration_npy", default=None,
+                    help="int8 only: .npy (N,H,W,C) sample images for "
+                         "static activation calibration")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args(argv)
+
+    if args.exported:
+        from .serve import load_exported
+        predictor = load_exported(args.exported)
+    else:
+        import jax.numpy as jnp
+
+        from .serve import Predictor
+        predictor = Predictor(
+            args.model_type, args.model_variant, args.num_classes,
+            checkpoint=args.checkpoint, batch_size=args.batch_size,
+            input_size=args.input_size, resize_size=args.resize_size,
+            quantize=args.quantize,
+            model_kwargs={"dtype": jnp.bfloat16} if args.bf16 else None)
+        if args.quantize == "int8" and args.calibration_npy:
+            samples = np.load(args.calibration_npy)
+            n = predictor.calibrate(list(np.asarray(samples, np.float32)))
+            print(f"calibrated {n} layers")
+
+    server = PredictionServer(predictor, host=args.host, port=args.port)
+    print(f"serving on {args.host}:{args.port} "
+          f"(batch={predictor.batch_size})")
+    server.start(block=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""HTTP serving endpoint (serve_http.PredictionServer).
+
+Spins the real ThreadingHTTPServer on an ephemeral port around a tiny
+CPU Predictor and drives it with urllib — routes, readiness, both body
+encodings, error paths. The reference has no serving surface at all
+(``/root/reference/demo.py:427`` stops at ``trainer.test``).
+"""
+
+import base64
+import io
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server():
+    from neighbour_feature_pooling_tpu.serve import Predictor
+    from neighbour_feature_pooling_tpu.serve_http import PredictionServer
+
+    pred = Predictor("resnet18", "gap_only", num_classes=4, batch_size=4,
+                     input_size=32, resize_size=36)
+    srv = PredictionServer(pred, host="127.0.0.1", port=0)
+    srv.start(block=False)
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(srv, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestRoutes:
+    def test_healthz_ready_after_warmup(self, server):
+        code, body = _get(server, "/healthz")
+        assert code == 200 and body["status"] == "ok"
+
+    def test_metadata(self, server):
+        code, body = _get(server, "/metadata")
+        assert code == 200
+        assert body["batch_size"] == 4 and body["num_classes"] == 4
+        assert body["model_type"] == "resnet18"
+
+    def test_unknown_route_404(self, server):
+        code, body = _post(server, "/nope", {})
+        assert code == 404
+
+
+class TestPredict:
+    def test_instances_json(self, server):
+        rng = np.random.default_rng(0)
+        imgs = rng.random((3, 36, 36, 3)).astype(np.float32)
+        code, body = _post(server, "/predict",
+                           {"instances": imgs.tolist()})
+        assert code == 200
+        probs = np.asarray(body["probabilities"])
+        assert probs.shape == (3, 4)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+        assert body["label"] == probs.argmax(-1).tolist()
+
+    def test_npy_b64_matches_instances_and_predictor(self, server):
+        rng = np.random.default_rng(1)
+        imgs = rng.random((2, 36, 36, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        code, body = _post(server, "/predict", {
+            "npy_b64": base64.b64encode(buf.getvalue()).decode()})
+        assert code == 200
+        direct = server.predictor.predict(list(imgs))
+        np.testing.assert_allclose(np.asarray(body["probabilities"]),
+                                   direct["probabilities"], atol=1e-6)
+
+    def test_single_image_3d_promoted(self, server):
+        img = np.zeros((36, 36, 3), np.float32)
+        code, body = _post(server, "/predict", {"instances": img.tolist()})
+        assert code == 200
+        assert np.asarray(body["probabilities"]).shape == (1, 4)
+
+    def test_preprocessed_skips_transform(self, server):
+        x = np.zeros((1, 32, 32, 3), np.float32)   # model-input shape
+        code, body = _post(server, "/predict",
+                           {"instances": x.tolist(), "preprocessed": True})
+        assert code == 200
+
+    def test_bad_payloads_400(self, server):
+        for payload in ({}, {"instances": [[1.0, 2.0]]}):
+            code, body = _post(server, "/predict", payload)
+            assert code == 400 and "error" in body
