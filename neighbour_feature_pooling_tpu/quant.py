@@ -95,6 +95,12 @@ class QuantConfig:
     act_scales: Optional[dict] = None
     bn_folding: Optional[dict] = None
     int8_chains: Optional[dict] = None
+    # mixed tier: quantize only the GEMM-shaped layers (dense, attention
+    # projections, 1×1 convs — all on the 1.04×-bf16 s8 dot_general
+    # lowering) and leave spatial convs in the float dtype. On v5e this
+    # sidesteps XLA's 0.73× s8 *conv* lowering that keeps full-int8
+    # ResNet50 at 0.81× bf16 (PARITY.md "int8 MXU kernels — measured").
+    quantize_spatial: bool = True
 
     def _mxu(self) -> bool:
         if self.use_mxu_gemm is None:
@@ -194,6 +200,9 @@ def prequantize_weights(variables, config: Optional[QuantConfig] = None):
                     out[name] = sub
             elif (name == "kernel" and hasattr(v, "ndim")
                   and v.ndim in (2, 4)):
+                if (not cfg.quantize_spatial and v.ndim == 4
+                        and any(k != 1 for k in v.shape[:-2])):
+                    continue  # mixed tier: spatial kernels stay float
                 contraction = 1
                 for d in v.shape[:-1]:
                     contraction *= d
@@ -280,6 +289,8 @@ def _conv_eligible(mod: nn.Conv, x: jax.Array, cfg: QuantConfig) -> bool:
     if isinstance(pad, str) and pad.upper() in ("CIRCULAR", "REFLECT"):
         return False
     ksize = _canon_tuple(mod.kernel_size, nd)
+    if not cfg.quantize_spatial and any(k != 1 for k in ksize):
+        return False  # mixed tier: spatial convs stay float
     contraction = x.shape[-1]
     for k in ksize:
         contraction *= k

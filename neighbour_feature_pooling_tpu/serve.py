@@ -50,6 +50,10 @@ class Predictor:
     quantize: Optional[str] = None        # None (fp32) | "int8"
     fold_bn: bool = True                  # int8 only: fold inference BNs
     #                                       into the conv dequant epilogue
+    quantize_spatial: bool = True         # int8 only: False = mixed tier
+    #                                       (dense/1×1 int8, spatial convs
+    #                                       stay in the model dtype —
+    #                                       pair with dtype=bf16)
     data_parallel: bool = False           # shard batches over all local
     #                                       devices (params replicated)
 
@@ -82,9 +86,11 @@ class Predictor:
             # skip the per-batch weight sweep (read + amax + round of
             # every kernel). Same values as in-line quantization up to
             # 1-ulp scale reassociation (quant.py).
-            from .quant import prequantize_weights
+            from .quant import QuantConfig, prequantize_weights
 
-            self._variables["int8w"] = prequantize_weights(self._variables)
+            self._variables["int8w"] = prequantize_weights(
+                self._variables,
+                QuantConfig(quantize_spatial=self.quantize_spatial))
         self._act_scales = None
         self._int8_chains = None
         self._build_forward()
@@ -108,7 +114,8 @@ class Predictor:
                                            dummy)
             self._quant_config = QuantConfig(
                 act_scales=self._act_scales, bn_folding=folding,
-                int8_chains=self._int8_chains)
+                int8_chains=self._int8_chains,
+                quantize_spatial=self.quantize_spatial)
             interceptor = make_int8_interceptor(self._quant_config)
 
             @jax.jit
@@ -209,7 +216,8 @@ class Predictor:
         batches = [jnp.asarray(x[i: i + self.batch_size])
                    for i in range(0, x.shape[0], self.batch_size)]
         self._act_scales = calibrate_act_scales(
-            self.model, self._variables, batches)
+            self.model, self._variables, batches,
+            config=self._quant_config)
         self._int8_chains = build_int8_chains(
             self.model, self._variables, batches[0], self._act_scales,
             config=self._quant_config) or None

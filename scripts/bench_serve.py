@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--calibrate", action="store_true",
                     help="int8 only: static activation calibration + "
                          "verified conv->conv s8 chaining before timing")
+    ap.add_argument("--mixed", action="store_true",
+                    help="int8 only: mixed tier — dense/1x1 convs int8, "
+                         "spatial convs bf16 (implies bf16 model dtype)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "bench_serve.jsonl"))
@@ -52,10 +55,15 @@ def main() -> None:
 
     enable_compilation_cache()
     kwargs = {"dtype": jnp.bfloat16} if args.bf16 else {}
+    if args.mixed:
+        if not args.int8:
+            raise SystemExit("--mixed requires --int8")
+        kwargs = {"dtype": jnp.bfloat16}
     pred = Predictor(args.model_type, args.variant, 21,
                      batch_size=args.batch, input_size=args.img,
                      model_kwargs=kwargs,
-                     quantize="int8" if args.int8 else None)
+                     quantize="int8" if args.int8 else None,
+                     quantize_spatial=not args.mixed)
     rng = np.random.default_rng(0)
     x = rng.standard_normal(
         (args.batch, args.img, args.img, 3)).astype(np.float32)
@@ -98,8 +106,9 @@ def main() -> None:
     rec = {
         "model": f"{args.model_type}+{args.variant}",
         "batch": args.batch, "img": args.img,
-        "dtype": ("int8_calib" if (args.int8 and args.calibrate)
-                  else "int8" if args.int8 else
+        "dtype": (("int8_mixed" if args.mixed else "int8")
+                  + ("_calib" if args.calibrate else "")
+                  if args.int8 else
                   "bf16" if args.bf16 else "fp32"),
         "int8_chains": n_chains,
         "predict_p50_ms": round(p50, 2),

@@ -251,6 +251,42 @@ class TestPrequantize:
         # by 1 ulp from the eagerly prebaked one
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_mixed_tier_leaves_spatial_convs_float(self):
+        """quantize_spatial=False: only GEMM-shaped layers (1×1 convs,
+        dense) are replaced — spatial kernels are neither baked nor
+        stripped, and the predictor still serves."""
+        from neighbour_feature_pooling_tpu.serve import Predictor
+
+        mixed = Predictor("resnet50", "gap_only", num_classes=4,
+                          batch_size=2, input_size=32, resize_size=36,
+                          quantize="int8", quantize_spatial=False)
+
+        def walk(tree, path=()):
+            for k, v in tree.items():
+                if isinstance(v, dict) or hasattr(v, "items"):
+                    yield from walk(v, path + (k,))
+                else:
+                    yield path + (k,), v
+
+        baked = [p for p, _ in walk(mixed._variables["int8w"])
+                 if p[-1] == "wq"]
+        assert baked                                    # 1×1s quantized
+        # every baked kernel is GEMM-shaped in the param tree
+        for p in baked:
+            node = mixed._variables["params"]
+            for comp in p[:-1]:
+                node = node[comp]
+            k = node["kernel"]
+            assert k.ndim == 2 or all(d == 1 for d in k.shape[:-2]), p
+        # spatial kernels survive in the serving tree
+        served = {p for p, _ in walk(mixed._serve_variables["params"])}
+        spatial = [p for p, v in walk(mixed._variables["params"])
+                   if p[-1] == "kernel" and v.ndim == 4
+                   and any(d != 1 for d in v.shape[:-2])]
+        assert spatial and all(p in served for p in spatial)
+        out = mixed.predict([np.zeros((36, 36, 3), np.float32)])
+        assert np.all(np.isfinite(out["probabilities"]))
+
     def test_serving_tree_strips_dead_fp32_kernels(self):
         """The serving variables drop the fp32 kernel of every layer the
         quantized program replaced (its int8w twin is what the forward
