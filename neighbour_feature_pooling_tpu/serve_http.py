@@ -13,6 +13,8 @@ Routes:
   (the first compiled forward has run), 503 before that — suitable as a
   readiness probe.
 - ``GET /metadata`` → model/batch/input-shape info.
+- ``GET /metrics``  → Prometheus text exposition: request/error/image
+  counters and a predict-latency histogram.
 - ``POST /predict`` → body ``{"instances": [<HWC float image>, ...]}``
   (nested JSON lists, values in [0, 1]) or ``{"npy_b64": <base64 of an
   .npy (N,H,W,C) float32 array>}`` for efficient clients. Optional
@@ -38,6 +40,7 @@ import base64
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -50,6 +53,9 @@ class PredictionServer:
     """HTTP wrapper for any object with the ``predict(images,
     preprocessed=...)`` contract (``Predictor`` / ``ExportedPredictor``)."""
 
+    # latency histogram bucket upper bounds, seconds (Prometheus-style)
+    BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0)
+
     def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000,
                  max_body_mb: int = 256):
         self.predictor = predictor
@@ -58,6 +64,12 @@ class PredictionServer:
         self._lock = threading.Lock()     # serialize device access
         self._ready = False
         self._httpd: Optional[ThreadingHTTPServer] = None
+        self._stats_lock = threading.Lock()
+        self._requests = 0                # successful /predict calls
+        self._errors = 0                  # 4xx/5xx /predict responses
+        self._images = 0                  # images classified
+        self._lat_sum = 0.0               # seconds in predictor.predict
+        self._lat_buckets = [0] * (len(self.BUCKETS) + 1)
 
     # -- request handling ---------------------------------------------------
 
@@ -86,11 +98,51 @@ class PredictionServer:
             x = x[None]
         if x.ndim != 4:
             raise ValueError(f"images must be (N,H,W,C), got {x.shape}")
+        t0 = time.perf_counter()
         with self._lock:
             out = self.predictor.predict(
                 list(x), preprocessed=bool(payload.get("preprocessed")))
+        dt = time.perf_counter() - t0
+        with self._stats_lock:
+            self._requests += 1
+            self._images += x.shape[0]
+            self._lat_sum += dt
+            i = 0
+            while i < len(self.BUCKETS) and dt > self.BUCKETS[i]:
+                i += 1
+            self._lat_buckets[i] += 1
         return {"probabilities": out["probabilities"].tolist(),
                 "label": out["label"].tolist()}
+
+    def _count_error(self) -> None:
+        with self._stats_lock:
+            self._errors += 1
+
+    def _metrics_text(self) -> str:
+        """Prometheus text exposition of the serving counters."""
+        with self._stats_lock:
+            lines = [
+                "# TYPE nfp_predict_requests_total counter",
+                f"nfp_predict_requests_total {self._requests}",
+                "# TYPE nfp_predict_errors_total counter",
+                f"nfp_predict_errors_total {self._errors}",
+                "# TYPE nfp_predict_images_total counter",
+                f"nfp_predict_images_total {self._images}",
+                "# TYPE nfp_predict_latency_seconds histogram",
+            ]
+            acc = 0
+            for ub, n in zip(self.BUCKETS, self._lat_buckets):
+                acc += n
+                lines.append('nfp_predict_latency_seconds_bucket'
+                             f'{{le="{ub}"}} {acc}')
+            acc += self._lat_buckets[-1]
+            lines.append('nfp_predict_latency_seconds_bucket'
+                         f'{{le="+Inf"}} {acc}')
+            lines.append(f"nfp_predict_latency_seconds_sum "
+                         f"{self._lat_sum:.6f}")
+            lines.append(f"nfp_predict_latency_seconds_count "
+                         f"{self._requests}")
+        return "\n".join(lines) + "\n"
 
     def warmup(self) -> None:
         """Run one padded batch through the compiled forward so the first
@@ -131,6 +183,14 @@ class PredictionServer:
                         self._send(503, {"status": "warming_up"})
                 elif self.path == "/metadata":
                     self._send(200, server._metadata())
+                elif self.path == "/metrics":
+                    body = server._metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 
@@ -146,8 +206,10 @@ class PredictionServer:
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     self._send(200, server._predict(payload))
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    server._count_error()
                     self._send(400, {"error": str(e)})
                 except Exception as e:  # device/runtime failure
+                    server._count_error()
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         return Handler

@@ -103,3 +103,32 @@ class TestPredict:
         for payload in ({}, {"instances": [[1.0, 2.0]]}):
             code, body = _post(server, "/predict", payload)
             assert code == 400 and "error" in body
+
+
+class TestMetrics:
+    def test_prometheus_counters_and_histogram(self, server):
+        # state before, one good and one bad request, state after
+        def scrape():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{server.port}/metrics") as r:
+                assert r.headers["Content-Type"].startswith("text/plain")
+                return {line.rsplit(" ", 1)[0]: float(line.rsplit(" ", 1)[1])
+                        for line in r.read().decode().splitlines()
+                        if line and not line.startswith("#")}
+
+        before = scrape()
+        imgs = np.zeros((2, 36, 36, 3), np.float32)
+        code, _ = _post(server, "/predict", {"instances": imgs.tolist()})
+        assert code == 200
+        code, _ = _post(server, "/predict", {})
+        assert code == 400
+        after = scrape()
+        assert (after["nfp_predict_requests_total"]
+                == before["nfp_predict_requests_total"] + 1)
+        assert (after["nfp_predict_errors_total"]
+                == before["nfp_predict_errors_total"] + 1)
+        assert (after["nfp_predict_images_total"]
+                == before["nfp_predict_images_total"] + 2)
+        assert (after['nfp_predict_latency_seconds_bucket{le="+Inf"}']
+                == after["nfp_predict_requests_total"])
+        assert after["nfp_predict_latency_seconds_sum"] > 0
