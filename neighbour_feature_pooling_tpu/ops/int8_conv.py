@@ -1,11 +1,14 @@
 """int8 2-D convolution on the MXU — Pallas, no im2col materialization.
 
-Why this exists (measured, v5e-1, PARITY.md round 3): XLA lowers
-``conv_general_dilated(s8, s8 → s32)`` to the *bf16* MXU mode (0.73× the
-bf16 conv), so PTQ serving (``quant.py``) gains nothing on conv
-backbones. Mosaic *does* emit the MXU's native int8 mode (1.9× bf16 for
-the same matmul body, ``ops/int8_gemm.py``). This kernel converts spatial
-convs — the dominant serving FLOPs of ResNet18/50 — into that mode.
+History (measured, v5e-1, PARITY.md "int8 MXU kernels — measured"):
+built on a Mosaic probe suggesting the MXU's int8 mode ran 1.9× bf16
+where XLA's s8 conv lowering manages 0.73×. The hardware session then
+failed to reproduce the probe: this kernel measured 0.55–0.87× XLA
+bf16 at the four ResNet body shapes, so it is **opt-in**
+(``QuantConfig(use_mxu_gemm=True)``; the default int8 route keeps
+spatial convs on XLA s8 conv, or in bf16 under the mixed tier). It
+remains bit-exact and tile-tunable for hardware where native-int8
+outruns bf16.
 
 Formulation — "flattened rows": zero-pad the input spatially, flatten
 ``(H+Kh-1, W+Kw-1) → Hp·Wp`` rows of ``Cin`` lanes. For a kernel tap

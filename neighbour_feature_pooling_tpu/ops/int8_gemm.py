@@ -1,12 +1,14 @@
 """Tuned int8 GEMM on the MXU — the engine under int8 serving.
 
-Motivation (measured, v5e-1, PARITY.md round 3): XLA has no native
-int8-MXU lowering for ``conv_general_dilated`` — a bare s8×s8→s32 conv
-runs at 0.73× the bf16 conv. Mosaic, however, DOES emit the MXU's int8
-mode: the same naive Pallas matmul body runs int8 at 1.90× its bf16
-twin. This module is the tuned s8×s8→s32 GEMM that converts that
-hardware mode into serving throughput: ``quant.py`` lowers eligible
-convs to (im2col-free) shift-and-GEMM calls on it.
+History (measured, v5e-1, PARITY.md "int8 MXU kernels — measured"): an
+isolated Mosaic probe suggested the MXU's int8 mode ran 1.90× bf16
+where XLA's s8 conv lowering manages 0.73× — this kernel was built on
+that bet, and the full hardware session then failed to reproduce the
+probe: at 4096³ this kernel reaches 82.8 TOPS vs 104.6 for XLA bf16
+and 109.2 for XLA's own s8 ``dot_general`` (which is the route
+``quant.py`` now uses by default). The kernel stays **opt-in**
+(``QuantConfig(use_mxu_gemm=True)``) — bit-exact, tile-tunable, the
+ready vehicle for hardware where native-int8 actually outruns bf16.
 
 Kernel shape: grid ``(M/TM, N/TN, K/TK)`` with the K axis innermost and
 ``arbitrary`` (sequential) semantics; an fp32-free int32 accumulator

@@ -1,17 +1,19 @@
 """Post-training int8 quantization for serving.
 
 The reference has no quantized-inference story (its serving surface stops
-at ``trainer.test``, ``/root/reference/demo.py:427``). On TPU v5e the
-MXU's int8 path nominally doubles peak throughput over bf16 (394 vs 197
-TOPS) — but measurement on this stack shows XLA does NOT lower
-``conv_general_dilated(int8, preferred_element_type=int32)`` onto that
-mode: a bare s8×s8→s32 conv runs at 64 TOPS vs the same conv at 88
-TFLOPS in bf16 (0.73×), and end-to-end ResNet18+NFP serving is 22.3k
-img/s int8 vs 26.0k bf16 at B=128 (PARITY.md). Until XLA grows a native
-int8 conv lowering, **bf16 remains the recommended serving dtype**; this
-module is the correctness-complete int8 tier that inherits the win the
-day the lowering lands (and the right base for int8-native Pallas GEMM
-kernels if serving ever becomes MXU-bound).
+at ``trainer.test``, ``/root/reference/demo.py:427``). Measured v5e
+routing facts (PARITY.md "int8 MXU kernels — measured", 2026-08-18):
+XLA's s8 ``dot_general`` runs at 1.04× its bf16 twin, its s8 *conv*
+lowering at 0.73×, and the in-tree Pallas int8 kernels at 0.55–0.87×
+(opt-in only). This module is built around those numbers: every
+GEMM-shaped contraction (dense, 1×1 convs via subsample-then-GEMM, the
+ViT attention projections) lowers as s8 ``dot_general``; spatial convs
+use XLA's s8 conv — or stay in the float dtype under the **mixed tier**
+(``quantize_spatial=False``). With static calibration + BN folding +
+verified s8 chaining + weight pre-quantization, the best int8 tier per
+family measured at-or-above bf16 (RN18 1.01×, RN50-mixed 1.07×, ViT
+1.04×, MNv3 1.17×) at ¼ the weight bytes; bf16 remains the simple
+default recommendation.
 
 Design — dynamic-activation / static-weight symmetric int8:
 

@@ -29,8 +29,9 @@ def main() -> None:
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--int8", action="store_true",
-                    help="post-training int8 path (quant.py): s8*s8->s32 "
-                         "on the MXU, 2x bf16 peak on v5e")
+                    help="post-training int8 path (quant.py): s8*s8->s32, "
+                         "XLA s8 dot_general route; best tiers measured "
+                         "at-or-above bf16 per family (PARITY.md)")
     ap.add_argument("--calibrate", action="store_true",
                     help="int8 only: static activation calibration + "
                          "verified conv->conv s8 chaining before timing")
