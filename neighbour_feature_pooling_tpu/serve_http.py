@@ -254,6 +254,10 @@ def main(argv=None) -> None:
     ap.add_argument("--input_size", type=int, default=224)
     ap.add_argument("--resize_size", type=int, default=256)
     ap.add_argument("--quantize", choices=["int8"], default=None)
+    ap.add_argument("--mixed", action="store_true",
+                    help="int8 only: mixed tier — dense/1×1 convs int8, "
+                         "spatial convs bf16 (implies --bf16; the fastest "
+                         "measured ResNet50 tier, PARITY.md)")
     ap.add_argument("--calibration_npy", default=None,
                     help="int8 only: .npy (N,H,W,C) sample images for "
                          "static activation calibration")
@@ -269,12 +273,15 @@ def main(argv=None) -> None:
         import jax.numpy as jnp
 
         from .serve import Predictor
+        if args.mixed and args.quantize != "int8":
+            raise SystemExit("--mixed requires --quantize int8")
+        bf16 = args.bf16 or args.mixed
         predictor = Predictor(
             args.model_type, args.model_variant, args.num_classes,
             checkpoint=args.checkpoint, batch_size=args.batch_size,
             input_size=args.input_size, resize_size=args.resize_size,
-            quantize=args.quantize,
-            model_kwargs={"dtype": jnp.bfloat16} if args.bf16 else None)
+            quantize=args.quantize, quantize_spatial=not args.mixed,
+            model_kwargs={"dtype": jnp.bfloat16} if bf16 else None)
         if args.quantize == "int8" and args.calibration_npy:
             samples = np.load(args.calibration_npy)
             n = predictor.calibrate(list(np.asarray(samples, np.float32)))
