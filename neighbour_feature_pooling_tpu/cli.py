@@ -144,6 +144,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--export_dir", default=None,
+                   help="after training, freeze the best seed's best "
+                        "checkpoint into a jax.export serving artifact "
+                        "here (serve.export_predictor; reload with "
+                        "serve.load_exported — no model code needed)")
+    p.add_argument("--export_quantize",
+                   choices=["none", "int8", "int8_mixed"], default="none",
+                   help="export tier: int8 = full PTQ (calibrated on val "
+                        "images), int8_mixed = dense/1×1 int8 + spatial "
+                        "convs bf16 (fastest measured ResNet50 tier)")
+    p.add_argument("--export_batch_size", type=int, default=32)
     return p
 
 
@@ -159,9 +170,34 @@ def _normalize_dataset(name: str) -> str:
     return mapping.get(key, name)
 
 
-def run_experiment(seed: int, config: Dict) -> float:
+def _model_kwargs(config: Dict) -> Dict:
+    """The ``get_model`` kwargs implied by a CLI config — shared by the
+    training path and artifact export so the Predictor rebuilds the
+    exact trained module (same param tree)."""
+    import jax.numpy as jnp
+
+    return dict(
+        measure=config.get("similarity", "cosine"),
+        nfp_radius=config.get("nfp_radius", 1),
+        nfp_padding=config.get("nfp_padding", 0),
+        nfp_stride=config.get("nfp_stride", 1),
+        nfp_layer_idx=config.get("nfp_layer_idx", 3),
+        nfp_insert_idx=config.get("nfp_insert_idx", 1),
+        nfp_intermediate_layer_idx=config.get("nfp_intermediate_layer_idx",
+                                              1),
+        nfp_mid_layer_idx=config.get("nfp_mid_layer_idx", 1),
+        dtype=jnp.bfloat16 if config.get("bf16") else jnp.float32,
+        remat=config.get("remat", False),
+        stem_s2d=config.get("stem_s2d", True),
+    )
+
+
+def run_experiment(seed: int, config: Dict,
+                   info: Optional[Dict] = None) -> float:
     """One seed: data → model → fit → best-checkpoint test → test accuracy
-    (``demo.py:217-428``)."""
+    (``demo.py:217-428``). ``info``, when given, is filled with the
+    resolved model geometry + checkpoint dir + datamodule — what
+    :func:`_export_artifact` needs to freeze the trained model."""
     import jax
     import jax.numpy as jnp
 
@@ -190,18 +226,12 @@ def run_experiment(seed: int, config: Dict) -> float:
     model = get_model(
         config["model_type"], config["model_variant"], num_classes,
         num_input_channels=num_input_channels,
-        measure=config.get("similarity", "cosine"),
-        nfp_radius=config.get("nfp_radius", 1),
-        nfp_padding=config.get("nfp_padding", 0),
-        nfp_stride=config.get("nfp_stride", 1),
-        nfp_layer_idx=config.get("nfp_layer_idx", 3),
-        nfp_insert_idx=config.get("nfp_insert_idx", 1),
-        nfp_intermediate_layer_idx=config.get("nfp_intermediate_layer_idx", 1),
-        nfp_mid_layer_idx=config.get("nfp_mid_layer_idx", 1),
-        dtype=jnp.bfloat16 if config.get("bf16") else jnp.float32,
-        remat=config.get("remat", False),
-        stem_s2d=config.get("stem_s2d", True),
+        **_model_kwargs(config),
     )
+    if info is not None:
+        info.update(num_classes=num_classes,
+                    num_input_channels=num_input_channels,
+                    ckpt_dir=ckpt_dir, datamodule=data_module)
 
     mesh = None
     n_dev = config.get("num_devices")
@@ -331,6 +361,49 @@ def run_experiments_seed_parallel(seeds: List[int],
     return [m["accuracy"] for m in metrics]
 
 
+def _export_artifact(info: Dict, config: Dict, args) -> None:
+    """Train→serve handoff: freeze the best seed's best checkpoint into a
+    ``jax.export`` artifact (optionally quantized + calibrated on val
+    images). The reference has no deployment path at all
+    (``/root/reference/demo.py:427`` stops at ``trainer.test``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .serve import Predictor, export_predictor
+
+    mixed = args.export_quantize == "int8_mixed"
+    quantize = None if args.export_quantize == "none" else "int8"
+    mk = _model_kwargs(config)
+    if mixed:
+        mk["dtype"] = jnp.bfloat16
+    pred = Predictor(
+        config["model_type"], config["model_variant"],
+        info["num_classes"],
+        checkpoint=os.path.join(info["ckpt_dir"], "best"),
+        batch_size=args.export_batch_size,
+        input_size=config["input_size"],
+        resize_size=config["resize_size"],
+        num_input_channels=info["num_input_channels"],
+        model_kwargs=mk, quantize=quantize,
+        quantize_spatial=not mixed)
+    if quantize:
+        # calibrate on (already-normalized) val images
+        imgs = []
+        for batch in info["datamodule"].val_batches():
+            x = np.asarray(batch["image"], np.float32)
+            w = np.asarray(batch["weight"]) > 0
+            imgs.extend(list(x[w]))
+            if len(imgs) >= 64:
+                break
+        if imgs:
+            n = pred.calibrate(imgs[:64], preprocessed=True)
+            print(f"export: calibrated {n} layers on {len(imgs[:64])} "
+                  f"val images")
+    export_predictor(pred, args.export_dir)
+    print(f"export: serving artifact written to {args.export_dir} "
+          f"(tier={args.export_quantize})")
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     from .parallel import initialize_distributed
     from .utils import enable_compilation_cache
@@ -404,6 +477,10 @@ def main(argv: Optional[List[str]] = None) -> None:
               "--steps_per_dispatch > 1; falling back to the serial "
               "seed loop")
         seed_parallel = False
+    if seed_parallel and args.export_dir:
+        print("--export_dir uses the serial seed loop's checkpoints; "
+              "falling back from --seed_parallel")
+        seed_parallel = False
     if seed_parallel:
         print(f"\n==== Running {len(args.seeds)} seeds in parallel "
               f"(lockstep sharded program) ====")
@@ -412,11 +489,16 @@ def main(argv: Optional[List[str]] = None) -> None:
             print(f"Seed {seed} Test Accuracy: {acc:.4f}")
     else:
         results = []
+        infos = []
         for seed in args.seeds:  # demo.py:545-551
             print(f"\n==== Running experiment with seed {seed} ====")
-            acc = run_experiment(seed, config)
+            info: Dict = {}
+            acc = run_experiment(seed, config, info=info)
             print(f"Seed {seed} Test Accuracy: {acc:.4f}")
             results.append(acc)
+            infos.append(info)
+        if args.export_dir:
+            _export_artifact(infos[int(np.argmax(results))], config, args)
     print(f"\n Final Test Accuracy over {len(results)} seeds: "
           f"{np.mean(results):.4f} ± {np.std(results):.4f}")
 

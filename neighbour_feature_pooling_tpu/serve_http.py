@@ -244,7 +244,8 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--model_type", default="resnet18")
     ap.add_argument("--model_variant", default="texture_nfp")
-    ap.add_argument("--num_classes", type=int, required=True)
+    ap.add_argument("--num_classes", type=int, default=None,
+                    help="required unless --exported (artifacts carry it)")
     ap.add_argument("--checkpoint", default=None,
                     help="training checkpoint prefix (save_checkpoint)")
     ap.add_argument("--exported", default=None,
@@ -269,6 +270,8 @@ def main(argv=None) -> None:
     if args.exported:
         from .serve import load_exported
         predictor = load_exported(args.exported)
+    elif args.num_classes is None:
+        raise SystemExit("--num_classes is required without --exported")
     else:
         import jax.numpy as jnp
 

@@ -137,6 +137,36 @@ def test_main_end_to_end_synthetic(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "checkpoints" / "synthetic").exists()
 
 
+def test_main_export_artifact(tmp_path, monkeypatch, capsys):
+    """--export_dir freezes the best seed's best checkpoint into a
+    serving artifact after training; the artifact reloads and serves
+    without model code (train→serve handoff)."""
+    import numpy as np
+
+    from neighbour_feature_pooling_tpu.cli import main
+    from neighbour_feature_pooling_tpu.serve import load_exported
+
+    monkeypatch.chdir(tmp_path)
+    main(["--dataset", "synthetic", "--model_type", "resnet18",
+          "--model_variant", "gap_only", "--input_size", "24",
+          "--batch_size", "16", "--max_epochs", "1", "--seeds", "7",
+          "--learning_rate", "1e-3",
+          "--export_dir", str(tmp_path / "artifact"),
+          "--export_quantize", "int8",
+          "--export_batch_size", "4"])
+    out = capsys.readouterr().out
+    assert "serving artifact written" in out
+    assert "calibrated" in out
+    art = tmp_path / "artifact"
+    assert (art / "forward.jaxexport").exists()
+    assert (art / "variables.npz").exists()
+    loaded = load_exported(str(art))
+    pred = loaded.predict(
+        [np.zeros((24, 24, 3), np.float32)], preprocessed=True)
+    assert pred["probabilities"].shape[0] == 1
+    assert np.all(np.isfinite(pred["probabilities"]))
+
+
 def test_trainer_resume(tmp_path):
     from neighbour_feature_pooling_tpu.data import SyntheticDataModule
     from neighbour_feature_pooling_tpu.models import get_model
