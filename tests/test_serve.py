@@ -155,6 +155,51 @@ class TestDataParallelServing:
             Predictor("resnet18", "gap_only", num_classes=3,
                       batch_size=6, input_size=32, data_parallel=True)
 
+    def test_export_model_script(self, tmp_path):
+        """scripts/export_model.py: checkpoint → quantized artifact →
+        reload, without a training process."""
+        import importlib.util
+        import os
+
+        import numpy as np
+
+        from neighbour_feature_pooling_tpu.data import SyntheticDataModule
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.serve import load_exported
+        from neighbour_feature_pooling_tpu.train import (Trainer,
+                                                         TrainerConfig)
+
+        dm = SyntheticDataModule(num_classes=3, num_samples=24,
+                                 image_size=24, batch_size=8)
+        model = get_model("resnet18", "gap_only", 3)
+        t = Trainer(model, 3, TrainerConfig(
+            learning_rate=1e-3, max_epochs=1, patience=5,
+            log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ck"),
+            freeze_nfp=False))
+        t.fit(dm)
+        t.close()
+
+        spec = importlib.util.spec_from_file_location(
+            "export_model", os.path.join(
+                os.path.dirname(os.path.dirname(__file__)),
+                "scripts", "export_model.py"))
+        em = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(em)
+        calib = tmp_path / "calib.npy"
+        np.save(calib, np.random.default_rng(0)
+                .random((4, 28, 28, 3)).astype(np.float32))
+        art = tmp_path / "art"
+        em.main(["--checkpoint", str(tmp_path / "ck" / "best"),
+                 "--out", str(art), "--model_type", "resnet18",
+                 "--model_variant", "gap_only", "--num_classes", "3",
+                 "--batch_size", "4", "--input_size", "24",
+                 "--resize_size", "28", "--quantize", "int8",
+                 "--calibration_npy", str(calib)])
+        loaded = load_exported(str(art))
+        out = loaded.predict([np.zeros((28, 28, 3), np.float32)])
+        assert out["probabilities"].shape == (1, 3)
+        assert np.all(np.isfinite(out["probabilities"]))
+
     def test_data_parallel_export_rejected(self, tmp_path):
         from neighbour_feature_pooling_tpu.serve import (
             Predictor, export_predictor)
