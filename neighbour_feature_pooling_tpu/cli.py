@@ -143,7 +143,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "or --steps_per_dispatch > 1")
     p.add_argument("--num_devices", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="model-axis size of a 2-D (data, model) mesh: wide "
+                        "parameters (classifier fc, DeepTEN codebook+BN, "
+                        "ViT MLPs) and their Adam moments shard over this "
+                        "axis (parallel.tp.MODEL_AXIS_RULES); must divide "
+                        "the device count")
     p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="restore each seed's `last` checkpoint before "
+                        "training (continues an interrupted/preempted run "
+                        "exactly; no-op when no checkpoint exists)")
     p.add_argument("--export_dir", default=None,
                    help="after training, freeze the best seed's best "
                         "checkpoint into a jax.export serving artifact "
@@ -237,7 +247,12 @@ def run_experiment(seed: int, config: Dict,
     n_dev = config.get("num_devices")
     if n_dev is None:
         n_dev = len(jax.devices())
-    if n_dev > 1:
+    mp = int(config.get("model_parallel", 1) or 1)
+    if mp > 1:
+        from .parallel import create_tp_mesh
+
+        mesh = create_tp_mesh(mp, jax.devices()[:n_dev])
+    elif n_dev > 1:
         from .parallel import create_mesh
 
         mesh = create_mesh(jax.devices()[:n_dev])
@@ -278,7 +293,15 @@ def run_experiment(seed: int, config: Dict,
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
     ), mesh=mesh, pretrained_backbone=pretrained_backbone)
     try:
-        trainer.fit(data_module)
+        fit_result = trainer.fit(data_module,
+                                 resume=bool(config.get("resume")))
+        if fit_result.get("preempted"):
+            # resumable checkpoint is on disk; skip test and signal the
+            # seed loop to stop (re-run the same command with --resume to
+            # continue — or rely on the scheduler restarting it)
+            print(f"seed {seed}: preempted; resume with the same command "
+                  f"+ --resume")
+            return None
         metrics = trainer.test(data_module, restore="best",
                                label_names=getattr(data_module,
                                                    "class_names",
@@ -456,6 +479,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         "nfp_intermediate_layer_idx": args.nfp_intermediate_layer_idx,
         "nfp_mid_layer_idx": args.nfp_mid_layer_idx,
         "num_devices": args.num_devices,
+        "model_parallel": args.model_parallel,
+        "resume": args.resume,
         "bf16": args.bf16,
         "scheduler": args.scheduler,
         "label_smoothing": args.label_smoothing,
@@ -471,11 +496,20 @@ def main(argv: Optional[List[str]] = None) -> None:
     }
 
     seed_parallel = args.seed_parallel
+    if seed_parallel and args.model_parallel > 1:
+        print("--seed_parallel builds its own (seed, data) mesh; "
+              "--model_parallel is ignored with it — falling back to the "
+              "serial seed loop")
+        seed_parallel = False
     if seed_parallel and (args.scheduler == "plateau"
                           or args.steps_per_dispatch > 1):
         print("--seed_parallel does not support --scheduler plateau or "
               "--steps_per_dispatch > 1; falling back to the serial "
               "seed loop")
+        seed_parallel = False
+    if seed_parallel and args.resume:
+        print("--resume restores per-seed checkpoints from the serial "
+              "loop; falling back from --seed_parallel")
         seed_parallel = False
     if seed_parallel and args.export_dir:
         print("--export_dir uses the serial seed loop's checkpoints; "
@@ -494,11 +528,16 @@ def main(argv: Optional[List[str]] = None) -> None:
             print(f"\n==== Running experiment with seed {seed} ====")
             info: Dict = {}
             acc = run_experiment(seed, config, info=info)
+            if acc is None:  # preempted; resumable checkpoint on disk
+                print(f"Seed {seed} preempted — stopping the seed loop")
+                break
             print(f"Seed {seed} Test Accuracy: {acc:.4f}")
             results.append(acc)
             infos.append(info)
-        if args.export_dir:
+        if args.export_dir and results:
             _export_artifact(infos[int(np.argmax(results))], config, args)
+    if not results:
+        return
     print(f"\n Final Test Accuracy over {len(results)} seeds: "
           f"{np.mean(results):.4f} ± {np.std(results):.4f}")
 

@@ -16,3 +16,11 @@ from .seed_parallel import (  # noqa: F401
     SeedParallelRunner,
     seed_parallel_mesh,
 )
+from .tp import (  # noqa: F401
+    MODEL_AXIS_RULES,
+    create_tp_mesh,
+    has_model_axis,
+    shard_state,
+    spec_for_path,
+    state_shardings,
+)

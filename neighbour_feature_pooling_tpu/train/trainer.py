@@ -78,6 +78,15 @@ class TrainerConfig:
     #: Metrics stay exact (per-step losses/confusions come back stacked).
     steps_per_dispatch: int = 1
     seed: int = 42
+    #: catch SIGTERM during fit() — the preemption notice on cloud TPU VMs —
+    #: and stop with a resumable ``last`` checkpoint instead of dying
+    #: mid-write. ``preempt_mode="epoch"`` finishes the current epoch first
+    #: (checkpoint is state-complete: resume continues exactly);
+    #: ``"step"`` stops at the next optimizer-step boundary and tags the
+    #: checkpoint to the last completed epoch (resume re-runs the partial
+    #: epoch from its start — some batches are seen twice).
+    handle_preemption: bool = True
+    preempt_mode: str = "epoch"  # epoch | step
 
 
 class Trainer:
@@ -192,7 +201,12 @@ class Trainer:
         return stacked
 
     def _replicate_state(self, state):
-        """Replicate every array leaf of the train state over the mesh.
+        """Place every array leaf of the train state onto the mesh.
+
+        1-D data mesh: fully replicated. 2-D ``(data, model)`` mesh: the
+        wide parameters (classifier fc, DeepTEN codebook/BN, ViT MLPs) and
+        their Adam moments shard over the model axis per
+        ``parallel.tp.MODEL_AXIS_RULES``; everything else replicates.
 
         ``make_array_from_callback`` instead of a plain ``device_put``: it
         materializes only this process's addressable shards, so the same
@@ -202,6 +216,10 @@ class Trainer:
         arrays again)."""
         if self.mesh is None:
             return state
+        from ..parallel.tp import has_model_axis, shard_state
+
+        if has_model_axis(self.mesh):
+            return shard_state(state, self.mesh)
         rep = replicated_sharding(self.mesh)
 
         def put(x):
@@ -232,7 +250,33 @@ class Trainer:
     def fit(self, datamodule, resume: bool = False) -> Dict[str, Any]:
         """Train; ``resume=True`` restores the ``last`` checkpoint first
         (the manual-resume workflow the reference's ``save_last=True``
-        enables, ``demo.py:391``)."""
+        enables, ``demo.py:391``). SIGTERM during the loop (TPU-VM
+        preemption notice) checkpoints and stops cleanly — the result dict
+        carries ``preempted=True`` and ``fit(resume=True)`` continues the
+        run (see ``TrainerConfig.handle_preemption``)."""
+        import signal
+        import threading
+
+        cfg = self.config
+        preempt = {"hit": False}
+        install = (cfg.handle_preemption and threading.current_thread()
+                   is threading.main_thread())
+        prev_handler = None
+        if install:
+            def _on_term(signum, frame):
+                preempt["hit"] = True
+                self.logger.info(
+                    "caught SIGTERM: will checkpoint and stop at the next "
+                    f"{cfg.preempt_mode} boundary")
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
+        try:
+            return self._fit(datamodule, resume, preempt)
+        finally:
+            if install:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _fit(self, datamodule, resume: bool, preempt: Dict[str, bool]
+             ) -> Dict[str, Any]:
         cfg = self.config
         datamodule.prepare_data()
         datamodule.setup("fit")
@@ -308,6 +352,7 @@ class Trainer:
         prof_left = cfg.profile_steps  # steps still to capture in the trace
         prof_active = False
         history = []
+        preempted = False
 
         for epoch in range(start_epoch, cfg.max_epochs):
             frozen = bool(cfg.freeze_nfp and epoch < cfg.unfreeze_epoch)
@@ -326,6 +371,9 @@ class Trainer:
             put = map(self._put_batch, datamodule.train_batches(epoch))
             pending = []  # steps_per_dispatch>1: batches awaiting a scan
             for batch in prefetch(put):
+                if preempt["hit"] and cfg.preempt_mode == "step":
+                    preempted = True
+                    break
                 if self._k > 1:
                     pending.append(batch)
                     if len(pending) < self._k:
@@ -384,6 +432,9 @@ class Trainer:
                 nb += 1
             # epoch tail shorter than steps_per_dispatch: single-step path
             for batch in pending:
+                if preempt["hit"] and cfg.preempt_mode == "step":
+                    preempted = True
+                    break
                 self.state, loss, cm_up = self._train_step(
                     self.state, batch, dropout_rng, frozen=frozen)
                 cm = cm + cm_up
@@ -391,6 +442,31 @@ class Trainer:
                 if log_every and nb % log_every == 0:
                     step_buf.append((gstep0 + nb, loss, cm_up))
                 nb += 1
+            if preempted:
+                # mid-epoch stop: persist a resumable checkpoint tagged to
+                # the last COMPLETED epoch — resume re-runs this epoch from
+                # its start (params have advanced; divergence documented in
+                # TrainerConfig.preempt_mode)
+                if prof_active:
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                if self._io_leader:
+                    save_checkpoint(
+                        os.path.join(cfg.ckpt_dir, "last"), self.state,
+                        {"epoch": epoch - 1,
+                         "early_stop": {
+                             "best_val_loss": (
+                                 None if best_val_loss == float("inf")
+                                 else best_val_loss),
+                             "patience_left": patience_left},
+                         "sched": {"best": (None
+                                            if sched_best == float("inf")
+                                            else sched_best),
+                                   "wait": sched_wait}})
+                self.logger.info(
+                    f"preempted mid-epoch {epoch} after {nb} steps; "
+                    f"resumable checkpoint saved (resume re-runs the epoch)")
+                break
             train_metrics = {k: float(v) for k, v in
                              metrics_from_confusion(cm).items()}
             train_metrics["loss"] = float(loss_sum) / max(nb, 1)
@@ -468,9 +544,19 @@ class Trainer:
                     f"early stopping at epoch {epoch} "
                     f"(val_loss plateau, patience {cfg.patience})")
                 break
+            if preempt["hit"]:
+                # epoch-granular preemption: the epoch just completed and
+                # its state-complete `last` checkpoint is on disk — resume
+                # continues exactly like an uninterrupted run
+                preempted = True
+                self.logger.info(
+                    f"preempted: checkpoint saved at epoch {epoch}; "
+                    f"stopping (resume with fit(resume=True))")
+                break
         if prof_active:  # run ended before the trace filled
             jax.profiler.stop_trace()
-        return {"history": history, "best": self.best}
+        return {"history": history, "best": self.best,
+                "preempted": preempted}
 
     # ----------------------------------------------------------------- eval
 

@@ -62,7 +62,7 @@ def test_trainer_flags_reach_config(monkeypatch, capsys):
 
     captured = {}
 
-    def fake_run(seed, config):
+    def fake_run(seed, config, info=None):
         captured.update(config)
         return 1.0
 
@@ -82,7 +82,7 @@ def test_reference_sizes_flag(monkeypatch):
 
     captured = {}
 
-    def fake_run(seed, config):
+    def fake_run(seed, config, info=None):
         captured.update(config)
         return 1.0
 
@@ -268,7 +268,7 @@ def test_reproduce_readme_download_flow(tmp_path, monkeypatch, capsys):
 
     ran = []
 
-    def fake_run(seed, config):
+    def fake_run(seed, config, info=None):
         assert config["pretrained"] and os.path.exists(config["pretrained"])
         assert os.path.isdir(config["data_dir"])
         assert os.path.basename(config["data_dir"]) == "Images"
@@ -290,3 +290,24 @@ def test_reproduce_readme_download_flow(tmp_path, monkeypatch, capsys):
     # the extracted class tree is where the next (offline) run will find it
     assert (tmp_path / "UCMerced" / "UCMerced_LandUse" / "Images"
             / "forest" / "0.png").exists()
+
+
+def test_main_resume_flag(tmp_path, monkeypatch, capsys):
+    """--resume restores the seed's `last` checkpoint and continues to the
+    (raised) max_epochs — the one-command preemption-recovery workflow."""
+    from neighbour_feature_pooling_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    base = ["--dataset", "synthetic", "--model_type", "resnet18",
+            "--model_variant", "gap_only", "--input_size", "24",
+            "--batch_size", "16", "--seeds", "7",
+            "--learning_rate", "1e-3", "--num_samples", "48"]
+    main(base + ["--max_epochs", "1"])
+    capsys.readouterr()
+    main(base + ["--max_epochs", "3", "--resume"])
+    out = capsys.readouterr().out
+    assert "Final Test Accuracy" in out
+    log = (tmp_path / "logs" / "synthetic")
+    exp = next(p for p in log.iterdir() if p.is_dir())
+    text = (exp / "experiment.log").read_text()
+    assert "resumed from last checkpoint at epoch 1" in text

@@ -493,3 +493,47 @@ def test_profile_steps_trace(tmp_path, k):
     found = glob.glob(str(tmp_path / "logs" / "profile" / "**" / "*"),
                       recursive=True)
     assert any(os.path.isfile(f) for f in found), found
+
+
+class _PreemptingDM(SyntheticDataModule):
+    """Sends this process a real SIGTERM (the cloud-TPU preemption notice)
+    while the trainer is consuming a given epoch's batches."""
+
+    def __init__(self, *a, kill_at_epoch=1, **kw):
+        super().__init__(*a, **kw)
+        self.kill_at_epoch = kill_at_epoch
+
+    def train_batches(self, epoch):
+        import signal
+
+        for i, b in enumerate(super().train_batches(epoch)):
+            if epoch == self.kill_at_epoch and i == 0:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield b
+
+
+@pytest.mark.parametrize("mode", ["epoch", "step"])
+def test_preemption_checkpoint_and_resume(tmp_path, mode):
+    """SIGTERM mid-fit stops with a resumable `last` checkpoint instead of
+    dying; fit(resume=True) continues to max_epochs (TrainerConfig
+    .handle_preemption). epoch mode finishes the interrupted epoch; step
+    mode stops inside it and resume re-runs it from its start."""
+    dm = _PreemptingDM(num_classes=2, num_samples=48, image_size=16,
+                       batch_size=16, kill_at_epoch=1)
+    model = get_model("resnet18", "gap_only", 2)
+    mk = lambda: Trainer(model, 2, TrainerConfig(  # noqa: E731
+        learning_rate=1e-3, max_epochs=4, patience=10,
+        log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
+        freeze_nfp=False, tensorboard=False, preempt_mode=mode))
+    result = mk().fit(dm)
+    assert result["preempted"] is True
+    done = [h["epoch"] for h in result["history"]]
+    assert done == ([0, 1] if mode == "epoch" else [0])
+
+    dm2 = SyntheticDataModule(num_classes=2, num_samples=48, image_size=16,
+                              batch_size=16)
+    result2 = mk().fit(dm2, resume=True)
+    assert result2["preempted"] is False
+    epochs2 = [h["epoch"] for h in result2["history"]]
+    # epoch mode: continue at 2; step mode: re-run the interrupted epoch 1
+    assert epochs2 == ([2, 3] if mode == "epoch" else [1, 2, 3])
