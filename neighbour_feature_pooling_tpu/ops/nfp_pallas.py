@@ -471,22 +471,73 @@ def _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
     )
 
 
+def _sp_eligible_static(radius, stride, padding, dilation, padding_mode,
+                        data_format):
+    """Spatial (H-axis) partitioning is defined for the "same"-output
+    configuration every production head uses (stride 1, padding = R·d,
+    NHWC): output row i depends on input rows i±R·d only, so an H-sharded
+    shard needs exactly an R·d-row halo from each neighbor shard."""
+    return (stride == 1 and padding == radius * dilation
+            and data_format == "NHWC"
+            and padding_mode in ("reflect", "zeros", "replicate", "circular"))
+
+
+def _halo_extend(x, axis_name, n_shards, rd, padding_mode):
+    """Exchange an ``rd``-row halo with the neighbor shards along the H axis
+    (NHWC dim 1) via ``ppermute`` and apply the *global* edge padding on the
+    boundary shards, so ``concat([top, x, bot])`` is each shard's slice of
+    the globally H-padded image. ``circular`` is a full ring (the wrap rows
+    ARE the other end's halo); the open modes fix up shard 0 / n−1 locally.
+    """
+    down = [(i, (i + 1) % n_shards) for i in range(
+        n_shards if padding_mode == "circular" else n_shards - 1)]
+    up = [(dst, src) for (src, dst) in down]
+    top = jax.lax.ppermute(x[:, -rd:], axis_name, down)
+    bot = jax.lax.ppermute(x[:, :rd], axis_name, up)
+    if padding_mode != "circular":
+        if padding_mode == "reflect":
+            top_edge = x[:, 1:rd + 1][:, ::-1]
+            bot_edge = x[:, -rd - 1:-1][:, ::-1]
+        elif padding_mode == "replicate":
+            top_edge = jnp.repeat(x[:, :1], rd, axis=1)
+            bot_edge = jnp.repeat(x[:, -1:], rd, axis=1)
+        else:  # zeros
+            top_edge = jnp.zeros_like(x[:, :rd])
+            bot_edge = top_edge
+        idx = jax.lax.axis_index(axis_name)
+        top = jnp.where(idx == 0, top_edge, top)
+        bot = jnp.where(idx == n_shards - 1, bot_edge, bot)
+    return jnp.concatenate([top, x, bot], axis=1)
+
+
 @functools.lru_cache(maxsize=None)
 def _partitioned_forward(radius, measure, similarity, p, eps, q_scs, stride,
                          padding, dilation, padding_mode, data_format,
                          fuse_gap):
-    """SPMD partitioning rule: NFP is embarrassingly parallel over batch.
+    """SPMD partitioning rule: batch pass-through + H-axis halo exchange.
 
     XLA's SPMD partitioner treats ``pallas_call`` as an opaque custom call,
     so on a multi-chip mesh a batch-sharded feature map would be
     ALL-GATHERED around the kernel (full map on every chip) before this op
     and the result re-sliced after. This ``custom_partitioning`` wrapper
-    declares dim 0 (batch) of operand and result as pass-through and every
-    other dim as needs-replication, so each shard runs the kernel on its
-    local batch rows and no collective is inserted. Covers both the Shardy
+    declares dim 0 (batch) of operand and result as pass-through, so each
+    shard runs the kernel on its local rows with no collective.
+
+    For the "same"-output configuration (stride 1, padding = R·d, NHWC —
+    every production head) the H axis is *also* partitionable: a shard's
+    output rows need only an R·d-row halo from its neighbors, exchanged
+    with two ``ppermute``s (+ a ``pmean`` over the spatial axis for the
+    fused-GAP head). That is how XLA itself spatially partitions
+    convolutions; this rule extends the same treatment to the opaque Pallas
+    call, so megapixel feature maps can shard over chips. Dims that a rule
+    cannot handle (W, C; H when the config or shard geometry is
+    ineligible) fall back to needs-replication. Covers both the Shardy
     partitioner (``sharding_rule``) and the legacy GSPMD callbacks.
     """
     out_rank = 2 if fuse_gap else 4
+    sp_ok = _sp_eligible_static(radius, stride, padding, dilation,
+                                padding_mode, data_format)
+    rd = radius * dilation
 
     def _local(x):
         return _forward_value(x, radius, measure, similarity, p, eps, q_scs,
@@ -501,20 +552,77 @@ def _partitioned_forward(radius, measure, similarity, p, eps, q_scs, stride,
         return NamedSharding(sharding.mesh,
                              PartitionSpec(batch, *([None] * (rank - 1))))
 
+    def _sp_axis(mesh, arg_shape):
+        """The single mesh axis H is sharded over, when the halo path can
+        serve it (even shards, each taller than the halo); else None."""
+        spec = getattr(arg_shape.sharding, "spec", None)
+        h = spec[1] if spec is not None and len(spec) > 1 else None
+        if h is None:
+            return None
+        names = (h,) if isinstance(h, str) else tuple(h)
+        if len(names) != 1:
+            return None
+        n = mesh.shape[names[0]]
+        h_glob = arg_shape.shape[1]
+        if n <= 1 or h_glob % n or h_glob // n <= rd:
+            return None
+        return names[0]
+
     def partition(mesh, arg_shapes, result_shape):
         arg_sharding = arg_shapes[0].sharding
-        return (mesh, _local, _batch_only(arg_sharding, out_rank),
-                (_batch_only(arg_sharding, 4),))
+        ax = _sp_axis(mesh, arg_shapes[0]) if sp_ok else None
+        if ax is None:
+            return (mesh, _local, _batch_only(arg_sharding, out_rank),
+                    (_batch_only(arg_sharding, 4),))
+
+        n = mesh.shape[ax]
+        spec = arg_sharding.spec
+        batch = spec[0] if len(spec) > 0 else None
+        arg_spec = PartitionSpec(batch, ax, None, None)
+        out_spec = (PartitionSpec(batch, None) if fuse_gap
+                    else PartitionSpec(batch, ax, None, None))
+
+        def _sp_local(x):
+            xe = _halo_extend(x, ax, n, rd, padding_mode)
+            if padding:  # W padding stays a local op
+                wmode = {"reflect": "reflect", "zeros": "constant",
+                         "replicate": "edge", "circular": "wrap"}[padding_mode]
+                xe = jnp.pad(xe, ((0, 0), (0, 0), (padding, padding), (0, 0)),
+                             mode=wmode)
+            out = _forward_value(xe, radius, measure, similarity, p, eps,
+                                 q_scs, stride, 0, dilation, padding_mode,
+                                 fuse_gap=fuse_gap, data_format=data_format)
+            if fuse_gap:
+                # equal shards: the global spatial mean is the mean of the
+                # per-shard means
+                out = jax.lax.pmean(out, ax)
+            return out
+
+        return (mesh, _sp_local, NamedSharding(mesh, out_spec),
+                (NamedSharding(mesh, arg_spec),))
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
-        return _batch_only(arg_shapes[0].sharding, out_rank)
+        ax = _sp_axis(mesh, arg_shapes[0]) if sp_ok else None
+        if ax is None or fuse_gap:
+            base = _batch_only(arg_shapes[0].sharding, out_rank)
+            return base
+        spec = arg_shapes[0].sharding.spec
+        batch = spec[0] if len(spec) > 0 else None
+        return NamedSharding(mesh, PartitionSpec(batch, ax, None, None))
 
-    out_factors = "b s" if fuse_gap else "b q r s"
-    repl = ("i", "j", "k", "s") if fuse_gap else ("i", "j", "k", "q", "r", "s")
+    if sp_ok:
+        out_factors = "b s" if fuse_gap else "b h r s"
+        repl = ("j", "k", "s") if fuse_gap else ("j", "k", "r", "s")
+        rule = f"b h j k -> {out_factors}"
+    else:
+        out_factors = "b s" if fuse_gap else "b q r s"
+        repl = (("i", "j", "k", "s") if fuse_gap
+                else ("i", "j", "k", "q", "r", "s"))
+        rule = f"b i j k -> {out_factors}"
     fwd.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer_sharding_from_operands,
-        sharding_rule=f"b i j k -> {out_factors}",
+        sharding_rule=rule,
         need_replication_factors=repl,
     )
     return fwd

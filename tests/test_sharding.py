@@ -244,3 +244,125 @@ def test_trainer_mesh_with_device_resident_data(tmp_path):
     np.testing.assert_allclose(vl8[0], vl1[0], rtol=1e-3)
     np.testing.assert_allclose(tl8, tl1, rtol=3e-2)
     np.testing.assert_allclose(vl8, vl1, rtol=3e-2)
+
+
+class TestNFPSpatialPartitioning:
+    """H-axis (spatial) partitioning of the NFP op — parallel halo design.
+
+    For the production "same"-output configuration (stride 1, padding =
+    R·d) the custom_partitioning rule serves an H-sharded feature map by
+    exchanging an R·d-row halo between neighbor shards (ppermute) and
+    applying the global edge padding only on the boundary shards; the
+    fused-GAP head adds a pmean over the spatial axis. This is the same
+    halo-exchange treatment XLA applies to spatially partitioned
+    convolutions, extended to the opaque Pallas call — so feature maps too
+    tall for one chip shard across the mesh instead of gathering.
+    """
+
+    def _sp_mesh(self, n=4):
+        from jax.sharding import Mesh
+        return Mesh(np.array(jax.devices()[:n]), ("sp",))
+
+    def _h_sharded(self, x, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(x, NamedSharding(mesh, P(None, "sp")))
+
+    def _jit_nfp(self, padding_mode="reflect", fuse_gap=False, radius=1,
+                 dilation=1):
+        from neighbour_feature_pooling_tpu.ops import nfp
+        pad = radius * dilation
+        return jax.jit(lambda a: nfp(a, radius, "cosine", True, 1.0, 1e-6,
+                                     1e-6, 1, pad, dilation, padding_mode,
+                                     "NHWC", fuse_gap))
+
+    @pytest.mark.parametrize("mode",
+                             ["reflect", "zeros", "replicate", "circular"])
+    def test_h_sharded_map_parity(self, mode):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 32, 9, 8)).astype(np.float32))
+        f = self._jit_nfp(padding_mode=mode)
+        want = np.asarray(f(x))
+        mesh = self._sp_mesh()
+        got = f(self._h_sharded(x, mesh))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+        assert got.sharding.spec[1] == "sp", got.sharding.spec
+
+    def test_h_sharded_fused_gap_parity_and_grad(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((4, 32, 9, 8)).astype(np.float32))
+        f = self._jit_nfp(fuse_gap=True)
+        mesh = self._sp_mesh()
+        xs = self._h_sharded(x, mesh)
+        np.testing.assert_allclose(np.asarray(f(xs)), np.asarray(f(x)),
+                                   atol=1e-6)
+        g = jax.jit(jax.grad(lambda a: self._jit_nfp(fuse_gap=True)(a).sum()))
+        np.testing.assert_allclose(np.asarray(g(xs)), np.asarray(g(x)),
+                                   atol=1e-6)
+
+    def test_radius2_dilation(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, 40, 8, 6)).astype(np.float32))
+        for radius, dilation in [(2, 1), (1, 2)]:
+            f = self._jit_nfp(radius=radius, dilation=dilation)
+            want = np.asarray(f(x))
+            got = f(self._h_sharded(x, self._sp_mesh()))
+            np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_batch_and_h_sharded_2d_mesh(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "sp"))
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((4, 32, 9, 8)).astype(np.float32))
+        f = self._jit_nfp()
+        want = np.asarray(f(x))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "sp")))
+        got = f(xs)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+        assert got.sharding.spec[:2] == ("data", "sp")
+
+    def test_halo_not_gather_in_hlo(self):
+        import re
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        mesh = self._sp_mesh()
+        spec = jax.ShapeDtypeStruct(
+            (4, 32, 9, 8), jnp.float32,
+            sharding=NamedSharding(mesh, P(None, "sp")))
+        hlo = self._jit_nfp().lower(spec).compile().as_text()
+        assert not re.search(r"all-gather", hlo), "H shards were gathered"
+        assert re.search(r"collective-permute", hlo), "no halo exchange found"
+
+    def test_uneven_or_short_shards_fall_back(self):
+        # H=10 over 4 shards does not divide (device_put refuses that
+        # layout, so force it with a sharding constraint inside jit — the
+        # GSPMD propagation path the guard exists for); H=8/4=2-row shards
+        # are not taller than the radius-2 halo — both must fall back to
+        # replication and stay correct
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from neighbour_feature_pooling_tpu.ops import nfp
+        rng = np.random.default_rng(4)
+        mesh = self._sp_mesh()
+        sh = NamedSharding(mesh, P(None, "sp"))
+
+        def _f(a, radius):
+            a = jax.lax.with_sharding_constraint(a, sh)
+            return nfp(a, radius, "cosine", True, 1.0, 1e-6, 1e-6, 1,
+                       radius, 1, "reflect", "NHWC", False)
+
+        for h, radius in [(10, 1), (8, 2)]:
+            x = jnp.asarray(
+                rng.standard_normal((2, h, 9, 6)).astype(np.float32))
+            want = np.asarray(self._jit_nfp(radius=radius)(x))
+            got = jax.jit(lambda a, r=radius: _f(a, r))(x)
+            np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+    def test_padding0_config_falls_back(self):
+        # padding=0 shrinks the map (NFPBottleneck): not sp-eligible —
+        # the batch-only rule must serve it correctly
+        from neighbour_feature_pooling_tpu.ops import nfp
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 16, 9, 6)).astype(np.float32))
+        f = jax.jit(lambda a: nfp(a, 1, "cosine", True, 1.0, 1e-6, 1e-6,
+                                  1, 0, 1, "reflect", "NHWC", False))
+        np.testing.assert_allclose(
+            np.asarray(f(self._h_sharded(x, self._sp_mesh()))),
+            np.asarray(f(x)), atol=1e-6)
