@@ -124,15 +124,16 @@ class EncoderBlock(nn.Module):
     mlp_ratio: float
     dtype: Dtype = jnp.float32
     fused_attn: bool = True
-    n_valid: int = 0  # >0: trailing tokens are padding (masked in attention)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, n_valid: int = 0):
+        # n_valid > 0: trailing tokens are padding (masked in attention);
+        # a static python int, so the mask branch stages out of the trace
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         if self.fused_attn:
             y = FusedAttention(num_heads=self.num_heads, dtype=self.dtype,
-                               name="attn")(y, self.n_valid)
+                               name="attn")(y, n_valid)
         else:
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, qkv_features=d, out_features=d,
@@ -144,7 +145,13 @@ class EncoderBlock(nn.Module):
 
 
 class ViT(nn.Module):
-    """Vision Transformer feature extractor returning ``(B, 1+N, D)`` tokens."""
+    """Vision Transformer feature extractor returning ``(B, 1+N, D)`` tokens.
+
+    Structured as ``embed`` → ``encode`` → ``finalize`` (setup-style) so the
+    pipeline-parallel runner (``parallel/pp.py``) can run the embedding and
+    final norm replicated while the homogeneous encoder blocks shard over
+    pipeline stages — all three reuse exactly this module's parameters.
+    """
 
     patch_size: int = 16
     embed_dim: int = 192
@@ -168,20 +175,35 @@ class ViT(nn.Module):
     def num_features(self) -> int:
         return self.embed_dim
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
+        self._patch = nn.Conv(self.embed_dim,
+                              (self.patch_size, self.patch_size),
+                              strides=self.patch_size, padding="VALID",
+                              dtype=self.dtype, name="patch_embed")
+        self.cls_token = self.param("cls_token", nn.initializers.zeros,
+                                    (1, 1, self.embed_dim))
+        self.pos_embed = self.param("pos_embed",
+                                    nn.initializers.normal(stddev=0.02),
+                                    (1, 1 + self.num_patches, self.embed_dim))
+        block_cls = (nn.remat(EncoderBlock, static_argnums=(2,))
+                     if self.remat else EncoderBlock)
+        self._blocks = [
+            block_cls(self.num_heads, self.mlp_ratio, self.dtype,
+                      self.fused_attn, name=f"block_{i}")
+            for i in range(self.depth)
+        ]
+        self._norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                  name="norm")
+
+    def embed(self, x):
+        """Patch embed + CLS + position embedding (+ alignment padding):
+        ``(B, H, W, C) -> ((B, T, D), n_valid)`` where ``n_valid > 0`` marks
+        trailing padded token slots."""
         b = x.shape[0]
-        p = self.patch_size
-        x = nn.Conv(self.embed_dim, (p, p), strides=p, padding="VALID",
-                    dtype=self.dtype, name="patch_embed")(x)
+        x = self._patch(x)
         x = x.reshape(b, -1, self.embed_dim)  # (B, N, D)
         n = x.shape[1]
-
-        cls = self.param("cls_token", nn.initializers.zeros,
-                         (1, 1, self.embed_dim))
-        pos = self.param("pos_embed",
-                         nn.initializers.normal(stddev=0.02),
-                         (1, 1 + self.num_patches, self.embed_dim))
+        pos = self.pos_embed
         if n != self.num_patches:
             # non-224 input: bilinearly resample the 2-D patch grid of the
             # position embedding (timm's resample_abs_pos_embed behavior)
@@ -192,8 +214,8 @@ class ViT(nn.Module):
                                     "bilinear")
             pos = jnp.concatenate(
                 [pos[:, :1], grid.reshape(1, n, self.embed_dim)], axis=1)
-        x = jnp.concatenate([jnp.tile(cls.astype(x.dtype), (b, 1, 1)), x],
-                            axis=1)
+        x = jnp.concatenate(
+            [jnp.tile(self.cls_token.astype(x.dtype), (b, 1, 1)), x], axis=1)
         x = x + pos.astype(x.dtype)
 
         n_valid = 0
@@ -202,15 +224,25 @@ class ViT(nn.Module):
             target = -(-t // self.seq_align) * self.seq_align
             n_valid = t
             x = jnp.pad(x, ((0, 0), (0, target - t), (0, 0)))
+        return x, n_valid
 
-        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
-        for i in range(self.depth):
-            x = block_cls(self.num_heads, self.mlp_ratio, self.dtype,
-                          self.fused_attn, n_valid, name=f"block_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+    def encode(self, x, n_valid: int = 0):
+        """The ``depth`` homogeneous transformer blocks."""
+        for blk in self._blocks:
+            x = blk(x, n_valid)
+        return x
+
+    def finalize(self, x, n_valid: int = 0):
+        """Final LayerNorm; strips the alignment padding rows."""
+        x = self._norm(x)
         if n_valid:
             x = x[:, :n_valid]
-        return x  # (B, 1+N, D)
+        return x
+
+    def __call__(self, x, train: bool = False):
+        x, n_valid = self.embed(x)
+        x = self.encode(x, n_valid)
+        return self.finalize(x, n_valid)  # (B, 1+N, D)
 
 
 def tokens_to_map(tokens: jnp.ndarray) -> jnp.ndarray:

@@ -16,6 +16,11 @@ from .seed_parallel import (  # noqa: F401
     SeedParallelRunner,
     seed_parallel_mesh,
 )
+from .pp import (  # noqa: F401
+    create_pp_mesh,
+    make_vit_pipeline_forward,
+    stack_block_params,
+)
 from .tp import (  # noqa: F401
     MODEL_AXIS_RULES,
     create_tp_mesh,

@@ -1,0 +1,152 @@
+"""GPipe-style pipeline parallelism over the ViT encoder.
+
+The reference never distributes (SURVEY §2.6, one GPU); this is TPU-native
+capability. The ViT's ``depth`` homogeneous pre-norm blocks
+(``models/backbones/vit.py``) are the textbook pipeline target: their
+parameters stack into one ``(depth, ...)`` tree, reshaped to
+``(stages, blocks_per_stage, ...)`` and sharded over a ``"pipe"`` mesh axis
+so each chip holds only ``depth/stages`` blocks' weights. ``shard_map``
+runs the classic GPipe schedule: M microbatches flow through P stages in
+``M + P − 1`` ticks, each tick applying one stage's blocks (a
+``lax.scan`` over its stacked block params) and hopping the activation to
+the next stage over ICI with ``lax.ppermute``. The patch embedding and
+final LayerNorm run replicated outside the pipe, reusing the SAME module
+methods (``ViT.embed`` / ``ViT.finalize``) — no duplicated model math.
+
+Composes with data parallelism: on a 2-D ``(data, pipe)`` mesh the
+within-microbatch rows shard over ``"data"`` while stages shard over
+``"pipe"``. Fully differentiable (``ppermute``/``scan`` have transposes),
+so the same runner serves training.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.backbones.vit import EncoderBlock, ViT
+
+try:  # jax>=0.6 exposes shard_map at the top level (0.8 as the function)
+    from jax import shard_map  # type: ignore
+
+    if not callable(shard_map):  # a module on some versions
+        shard_map = shard_map.shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+__all__ = [
+    "create_pp_mesh",
+    "stack_block_params",
+    "make_vit_pipeline_forward",
+]
+
+_PIPE = "pipe"
+
+
+def create_pp_mesh(stages: int,
+                   devices: Optional[Sequence[jax.Device]] = None,
+                   axis_names: Tuple[str, str] = ("data", _PIPE)) -> Mesh:
+    """2-D ``(data, pipe)`` mesh; ``stages`` must divide the device count."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if stages <= 0 or len(devices) % stages:
+        raise ValueError(f"stages={stages} must divide the device count "
+                         f"({len(devices)})")
+    grid = np.asarray(devices).reshape(len(devices) // stages, stages)
+    return Mesh(grid, axis_names)
+
+
+def stack_block_params(params, depth: int):
+    """Stack ``block_0..block_{depth-1}`` param trees into one tree whose
+    leaves carry a leading ``depth`` axis (they are homogeneous)."""
+    blocks = [params[f"block_{i}"] for i in range(depth)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def make_vit_pipeline_forward(vit: ViT, mesh: Mesh, num_microbatches: int,
+                              data_axis: Optional[str] = "data",
+                              pipe_axis: str = _PIPE):
+    """Build ``fn(variables, x) -> tokens`` running ``vit``'s encoder as a
+    GPipe pipeline over ``mesh[pipe_axis]``; numerically equal to
+    ``vit.apply(variables, x)``.
+
+    ``num_microbatches`` must divide the batch; the pipeline bubble is the
+    usual ``(P−1)/(M+P−1)``, so pick M ≥ ~4·P for throughput. Differentiable
+    end to end.
+    """
+    n_stages = mesh.shape[pipe_axis]
+    if vit.depth % n_stages:
+        raise ValueError(f"depth {vit.depth} must divide into "
+                         f"{n_stages} pipeline stages")
+    per_stage = vit.depth // n_stages
+    if data_axis is not None and data_axis not in mesh.axis_names:
+        data_axis = None
+    block = EncoderBlock(vit.num_heads, vit.mlp_ratio, vit.dtype,
+                         vit.fused_attn)
+    m = num_microbatches
+
+    def forward(variables, x):
+        tokens, n_valid = vit.apply(variables, x, method="embed")
+        b, t, d = tokens.shape
+        if b % m:
+            raise ValueError(f"batch {b} % microbatches {m} != 0")
+        mb = b // m
+        xmb = tokens.reshape(m, mb, t, d)
+        # within-microbatch rows shard over the data axis only when they
+        # divide it; otherwise run the rows replicated (pipe still shards)
+        da = data_axis if data_axis and mb % mesh.shape[data_axis] == 0 \
+            else None
+
+        stacked = stack_block_params(variables["params"], vit.depth)
+        stacked = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_stages, per_stage) + a.shape[1:]),
+            stacked)
+
+        def apply_stage(sp, y):
+            def body(yy, bp):
+                return block.apply({"params": bp}, yy, n_valid), None
+
+            y, _ = jax.lax.scan(body, y, sp)
+            return y
+
+        def pipe(sp, xloc):
+            # sp: (1, per_stage, ...) this stage's blocks
+            # xloc: (m, mb_local, t, d) every microbatch, data-sharded rows
+            sp = jax.tree_util.tree_map(lambda a: a[0], sp)
+            idx = jax.lax.axis_index(pipe_axis)
+
+            def tick(y, step):
+                # stage 0 injects microbatch `step`; later ticks clip to the
+                # last one — its outputs fall in the drain bubble and are
+                # never read
+                inj = jax.lax.dynamic_index_in_dim(
+                    xloc, jnp.clip(step, 0, m - 1), 0, keepdims=False)
+                y = jnp.where(idx == 0, inj, y)
+                y = apply_stage(sp, y)
+                out_t = y
+                if n_stages > 1:
+                    y = jax.lax.ppermute(
+                        y, pipe_axis,
+                        [(i, i + 1) for i in range(n_stages - 1)])
+                return y, out_t
+
+            _, outs = jax.lax.scan(tick, jnp.zeros_like(xloc[0]),
+                                   jnp.arange(m + n_stages - 1))
+            # on the last stage, outs[step] is microbatch step-(P-1)'s result
+            return outs[n_stages - 1:]
+
+        xspec = P(None, da) if da else P()
+        out = shard_map(
+            pipe, mesh=mesh,
+            in_specs=(P(pipe_axis), xspec),
+            out_specs=P(pipe_axis, da) if da else P(pipe_axis),
+            check_vma=False,
+        )(stacked, xmb)
+        # out: (n_stages·m, mb, t, d); only the last stage's chunk is real
+        enc = out[-m:].reshape(b, t, d)
+        return vit.apply(variables, enc, n_valid, method="finalize")
+
+    return forward
