@@ -149,6 +149,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "ViT MLPs) and their Adam moments shard over this "
                         "axis (parallel.tp.MODEL_AXIS_RULES); must divide "
                         "the device count")
+    p.add_argument("--zero", choices=["none", "zero1", "fsdp"],
+                   default="none",
+                   help="ZeRO sharding over the data axis (parallel/"
+                        "zero.py): zero1 shards the Adam moments, fsdp "
+                        "also shards the parameters; per-chip optimizer "
+                        "(and under fsdp, weight) memory drops by the "
+                        "data-axis size. Composes with --model_parallel")
     p.add_argument("--num_workers", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="restore each seed's `last` checkpoint before "
@@ -291,7 +298,8 @@ def run_experiment(seed: int, config: Dict,
         steps_per_dispatch=config.get("steps_per_dispatch", 1),
         freeze_nfp=True, unfreeze_epoch=5,  # demo.py:376-377
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
-    ), mesh=mesh, pretrained_backbone=pretrained_backbone)
+    ), mesh=mesh, pretrained_backbone=pretrained_backbone,
+        zero=config.get("zero", "none") or "none")
     try:
         fit_result = trainer.fit(data_module,
                                  resume=bool(config.get("resume")))
@@ -480,6 +488,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "nfp_mid_layer_idx": args.nfp_mid_layer_idx,
         "num_devices": args.num_devices,
         "model_parallel": args.model_parallel,
+        "zero": args.zero,
         "resume": args.resume,
         "bf16": args.bf16,
         "scheduler": args.scheduler,
@@ -496,6 +505,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     }
 
     seed_parallel = args.seed_parallel
+    if seed_parallel and args.zero != "none":
+        print("--seed_parallel builds its own (seed, data) mesh; "
+              "--zero is ignored with it — falling back to the serial "
+              "seed loop")
+        seed_parallel = False
     if seed_parallel and args.model_parallel > 1:
         print("--seed_parallel builds its own (seed, data) mesh; "
               "--model_parallel is ignored with it — falling back to the "

@@ -21,6 +21,12 @@ from .pp import (  # noqa: F401
     make_vit_pipeline_forward,
     stack_block_params,
 )
+from .zero import (  # noqa: F401
+    ZERO_MODES,
+    shard_state_zero,
+    zero_spec,
+    zero_state_shardings,
+)
 from .tp import (  # noqa: F401
     MODEL_AXIS_RULES,
     create_tp_mesh,

@@ -45,13 +45,21 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
     apply_fn: Callable = flax.struct.field(pytree_node=False)
+    #: optional ``state -> state`` sharding pin applied after each update
+    #: (set by ``parallel.zero.shard_state_zero``): keeps ZeRO/FSDP layouts
+    #: stable across donated-buffer steps. ``None`` = no-op.
+    constrain: Optional[Callable] = flax.struct.field(pytree_node=False,
+                                                      default=None)
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state,
                                                 self.params)
         new_params = optax.apply_updates(self.params, updates)
-        return self.replace(step=self.step + 1, params=new_params,
-                            opt_state=new_opt_state)
+        new = self.replace(step=self.step + 1, params=new_params,
+                           opt_state=new_opt_state)
+        if self.constrain is not None:
+            new = self.constrain(new)
+        return new
 
 
 def cross_entropy_loss(logits: jax.Array, labels: jax.Array,

@@ -93,11 +93,14 @@ class Trainer:
     """Fit/validate/test driver for a ``TextureModel``."""
 
     def __init__(self, model, num_classes: int, config: TrainerConfig,
-                 mesh=None, pretrained_backbone=None):
+                 mesh=None, pretrained_backbone=None, zero: str = "none"):
         self.model = model
         self.num_classes = num_classes
         self.config = config
         self.mesh = mesh
+        if zero not in ("none", "zero1", "fsdp"):
+            raise ValueError(f"zero={zero!r} (expected none|zero1|fsdp)")
+        self.zero = zero if mesh is not None else "none"
         self.pretrained_backbone = pretrained_backbone
         self._train_step = make_train_step(num_classes,
                                            config.label_smoothing)
@@ -218,6 +221,13 @@ class Trainer:
             return state
         from ..parallel.tp import has_model_axis, shard_state
 
+        if self.zero != "none":
+            # ZeRO-1 / FSDP: Adam moments (and under fsdp, parameters)
+            # shard over "data"; composes with the model-axis rules and
+            # attaches the apply_gradients sharding pin (parallel/zero.py).
+            from ..parallel.zero import shard_state_zero
+
+            return shard_state_zero(state, self.mesh, self.zero)
         if has_model_axis(self.mesh):
             return shard_state(state, self.mesh)
         rep = replicated_sharding(self.mesh)
