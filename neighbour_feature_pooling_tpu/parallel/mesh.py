@@ -17,7 +17,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["create_mesh", "data_sharding", "replicated_sharding",
-           "shard_batch"]
+           "shard_batch", "place_leaf"]
+
+
+def place_leaf(x, sharding: "NamedSharding"):
+    """Place one train-state leaf onto a mesh sharding.
+
+    The single implementation behind ``tp.shard_state``,
+    ``zero.shard_state_zero`` and ``Trainer._replicate_state``: non-array
+    leaves pass through, already-placed arrays are returned as-is, and
+    everything else goes through ``make_array_from_callback`` — which
+    materializes only this process's addressable shards, so the same code
+    path serves single-process meshes AND multi-host runs (where the mesh
+    spans devices this process cannot address; restored checkpoints
+    arrive as host numpy and must become global arrays again).
+    """
+    if not isinstance(x, (jax.Array, np.ndarray, jax.numpy.ndarray)):
+        return x
+    if isinstance(x, jax.Array) and x.sharding == sharding:
+        return x
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
 
 
 def create_mesh(devices: Optional[Sequence[jax.Device]] = None,

@@ -17,6 +17,13 @@ Composes with data parallelism: on a 2-D ``(data, pipe)`` mesh the
 within-microbatch rows shard over ``"data"`` while stages shard over
 ``"pipe"``. Fully differentiable (``ppermute``/``scan`` have transposes),
 so the same runner serves training.
+
+For real weight-memory savings pass ``stacked_params=``
+``shard_stacked_params(variables, vit, mesh)``: the block weights then
+live pipe-sharded on device and the copies inside ``variables`` are
+unused (strip them to reclaim the HBM). Without it the runner stacks the
+replicated ``variables`` inside jit — numerically identical, zero-setup,
+but every chip materializes all blocks once as scratch.
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ except ImportError:  # pragma: no cover
 __all__ = [
     "create_pp_mesh",
     "stack_block_params",
+    "shard_stacked_params",
     "make_vit_pipeline_forward",
 ]
 
@@ -66,22 +74,57 @@ def stack_block_params(params, depth: int):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
 
 
+def _split_stages(stacked, n_stages: int):
+    """Reshape a ``(depth, ...)`` stacked tree to ``(stages, depth/stages,
+    ...)``."""
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((n_stages, a.shape[0] // n_stages)
+                            + a.shape[1:]), stacked)
+
+
+def shard_stacked_params(variables, vit: ViT, mesh: Mesh,
+                         pipe_axis: str = _PIPE):
+    """Pre-stack the encoder block params and PLACE them pipe-sharded:
+    a ``(stages, depth/stages, ...)`` tree with dim 0 split over
+    ``mesh[pipe_axis]`` — each chip holds only its own stage's block
+    weights, the point of pipelining. Pass the result to
+    ``make_vit_pipeline_forward(stacked_params=...)``; the block copies
+    inside ``variables`` are then unused and may be stripped."""
+    n_stages = mesh.shape[pipe_axis]
+    if vit.depth % n_stages:
+        raise ValueError(f"depth {vit.depth} must divide into "
+                         f"{n_stages} pipeline stages")
+    stacked = _split_stages(stack_block_params(variables["params"],
+                                               vit.depth), n_stages)
+    rank_sh = {}
+
+    def put(a):
+        sh = rank_sh.setdefault(
+            a.ndim, NamedSharding(mesh, P(pipe_axis,
+                                          *([None] * (a.ndim - 1)))))
+        return jax.device_put(a, sh)
+
+    return jax.tree_util.tree_map(put, stacked)
+
+
 def make_vit_pipeline_forward(vit: ViT, mesh: Mesh, num_microbatches: int,
                               data_axis: Optional[str] = "data",
-                              pipe_axis: str = _PIPE):
+                              pipe_axis: str = _PIPE,
+                              stacked_params=None):
     """Build ``fn(variables, x) -> tokens`` running ``vit``'s encoder as a
     GPipe pipeline over ``mesh[pipe_axis]``; numerically equal to
     ``vit.apply(variables, x)``.
 
     ``num_microbatches`` must divide the batch; the pipeline bubble is the
     usual ``(P−1)/(M+P−1)``, so pick M ≥ ~4·P for throughput. Differentiable
-    end to end.
+    end to end. ``stacked_params`` (from ``shard_stacked_params``) supplies
+    pipe-sharded block weights; without it they are stacked from
+    ``variables`` inside jit (replicated).
     """
     n_stages = mesh.shape[pipe_axis]
     if vit.depth % n_stages:
         raise ValueError(f"depth {vit.depth} must divide into "
                          f"{n_stages} pipeline stages")
-    per_stage = vit.depth // n_stages
     if data_axis is not None and data_axis not in mesh.axis_names:
         data_axis = None
     block = EncoderBlock(vit.num_heads, vit.mlp_ratio, vit.dtype,
@@ -100,10 +143,12 @@ def make_vit_pipeline_forward(vit: ViT, mesh: Mesh, num_microbatches: int,
         da = data_axis if data_axis and mb % mesh.shape[data_axis] == 0 \
             else None
 
-        stacked = stack_block_params(variables["params"], vit.depth)
-        stacked = jax.tree_util.tree_map(
-            lambda a: a.reshape((n_stages, per_stage) + a.shape[1:]),
-            stacked)
+        if stacked_params is None:
+            stacked = _split_stages(
+                stack_block_params(variables["params"], vit.depth),
+                n_stages)
+        else:
+            stacked = stacked_params
 
         def apply_stage(sp, y):
             def body(yy, bp):
@@ -135,18 +180,25 @@ def make_vit_pipeline_forward(vit: ViT, mesh: Mesh, num_microbatches: int,
 
             _, outs = jax.lax.scan(tick, jnp.zeros_like(xloc[0]),
                                    jnp.arange(m + n_stages - 1))
-            # on the last stage, outs[step] is microbatch step-(P-1)'s result
-            return outs[n_stages - 1:]
+            # on the last stage, outs[step] is microbatch step-(P-1)'s
+            # result; earlier stages' slices are pipeline scratch. Mask +
+            # psum replicates the real m slices to every pipe shard, so
+            # the output carries no dead slabs (P·m -> m microbatches).
+            outs = outs[n_stages - 1:]
+            if n_stages > 1:
+                outs = jnp.where(idx == n_stages - 1, outs,
+                                 jnp.zeros_like(outs))
+                outs = jax.lax.psum(outs, pipe_axis)
+            return outs
 
         xspec = P(None, da) if da else P()
         out = shard_map(
             pipe, mesh=mesh,
             in_specs=(P(pipe_axis), xspec),
-            out_specs=P(pipe_axis, da) if da else P(pipe_axis),
+            out_specs=xspec,
             check_vma=False,
         )(stacked, xmb)
-        # out: (n_stages·m, mb, t, d); only the last stage's chunk is real
-        enc = out[-m:].reshape(b, t, d)
+        enc = out.reshape(b, t, d)
         return vit.apply(variables, enc, n_valid, method="finalize")
 
     return forward

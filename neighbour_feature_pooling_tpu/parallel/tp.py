@@ -140,9 +140,9 @@ def state_shardings(state, mesh: Mesh,
 def shard_state(state, mesh: Mesh,
                 rules: Tuple[Tuple[str, P], ...] = MODEL_AXIS_RULES):
     """Place every array leaf of a train state onto ``mesh`` under the
-    model-axis rules. Uses ``make_array_from_callback`` so each process
-    materializes only its addressable shards (multi-host safe, mirroring
-    ``Trainer._replicate_state``)."""
+    model-axis rules (multi-host safe via ``mesh.place_leaf``)."""
+    from .mesh import place_leaf
+
     tp = mesh.shape[_M] if _M in mesh.axis_names else 1
 
     def put(kp, x):
@@ -150,11 +150,6 @@ def shard_state(state, mesh: Mesh,
             return x
         spec = (spec_for_path(_leaf_path(kp), tuple(np.shape(x)), tp, rules)
                 if tp > 1 else P())
-        sh = NamedSharding(mesh, spec)
-        if isinstance(x, jax.Array) and x.sharding == sh:
-            return x
-        arr = np.asarray(x)
-        return jax.make_array_from_callback(arr.shape, sh,
-                                            lambda idx: arr[idx])
+        return place_leaf(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(put, state)

@@ -137,22 +137,13 @@ def shard_state_zero(state, mesh: Mesh, mode: str = "zero1"):
     ZeRO ``mode`` and attach the matching ``constrain`` fn (applied by
     ``TrainState.apply_gradients`` so updated leaves keep their layout).
 
-    ``make_array_from_callback`` materializes only this process's
-    addressable shards — multi-host safe, mirroring
-    ``Trainer._replicate_state`` / ``tp.shard_state``.
+    Placement goes through ``mesh.place_leaf`` (multi-host safe, shared
+    with ``tp.shard_state`` and ``Trainer._replicate_state``).
     """
+    from .mesh import place_leaf
+
     shardings = zero_state_shardings(state, mesh, mode)
-
-    def put(x, sh):
-        if not _is_array(x):
-            return x
-        if isinstance(x, jax.Array) and x.sharding == sh:
-            return x
-        arr = np.asarray(x)
-        return jax.make_array_from_callback(arr.shape, sh,
-                                            lambda idx: arr[idx])
-
-    placed = jax.tree_util.tree_map(put, state, shardings)
+    placed = jax.tree_util.tree_map(place_leaf, state, shardings)
     return placed.replace(constrain=make_constrain_fn(shardings))
 
 

@@ -98,9 +98,15 @@ class Trainer:
         self.num_classes = num_classes
         self.config = config
         self.mesh = mesh
-        if zero not in ("none", "zero1", "fsdp"):
-            raise ValueError(f"zero={zero!r} (expected none|zero1|fsdp)")
-        self.zero = zero if mesh is not None else "none"
+        from ..parallel.zero import ZERO_MODES
+
+        if zero not in ZERO_MODES:
+            raise ValueError(f"zero={zero!r} (expected one of {ZERO_MODES})")
+        if zero != "none" and mesh is None:
+            print(f"zero={zero!r} needs a device mesh; single-device run "
+                  f"proceeds unsharded")
+            zero = "none"
+        self.zero = zero
         self.pretrained_backbone = pretrained_backbone
         self._train_step = make_train_step(num_classes,
                                            config.label_smoothing)
@@ -230,18 +236,10 @@ class Trainer:
             return shard_state_zero(state, self.mesh, self.zero)
         if has_model_axis(self.mesh):
             return shard_state(state, self.mesh)
+        from ..parallel.mesh import place_leaf
+
         rep = replicated_sharding(self.mesh)
-
-        def put(x):
-            if isinstance(x, jax.Array) and x.sharding == rep:
-                return x
-            if not isinstance(x, (jax.Array, np.ndarray, jnp.ndarray)):
-                return x
-            arr = np.asarray(x)
-            return jax.make_array_from_callback(arr.shape, rep,
-                                                lambda idx: arr[idx])
-
-        return jax.tree_util.tree_map(put, state)
+        return jax.tree_util.tree_map(lambda x: place_leaf(x, rep), state)
 
     def init_state(self, sample_batch, total_steps: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed)

@@ -17,6 +17,7 @@ from neighbour_feature_pooling_tpu.models.backbones.vit import ViT
 from neighbour_feature_pooling_tpu.parallel import (
     create_pp_mesh,
     make_vit_pipeline_forward,
+    shard_stacked_params,
     stack_block_params,
 )
 
@@ -72,8 +73,23 @@ def test_stage_weights_are_split():
     of pipelining: per-chip weight memory drops by the stage count."""
     vit, v, x = _vit_and_input()
     mesh = create_pp_mesh(4)
-    fwd = jax.jit(make_vit_pipeline_forward(vit, mesh, 4))
-    hlo = fwd.lower(v, x).compile().as_text()
+    sp = shard_stacked_params(v, vit, mesh)
+    k = sp["mlp"]["fc1"]["kernel"]
+    assert k.shape[:2] == (4, 2)  # (stages, depth/stages)
+    # dim 0 (stages) is actually split over the pipe axis
+    assert k.addressable_shards[0].data.shape[0] == 1
+    assert k.sharding.spec[0] == "pipe"
+
+    # the runner consumes the pre-sharded weights: the block copies inside
+    # `variables` are unused — forward parity holds even with them stripped
+    stripped = {"params": {kk: vv for kk, vv in v["params"].items()
+                           if not kk.startswith("block_")}}
+    fwd = jax.jit(make_vit_pipeline_forward(vit, mesh, 4,
+                                            stacked_params=sp))
+    want = jax.jit(lambda v, x: vit.apply(v, x, train=False))(v, x)
+    np.testing.assert_allclose(np.asarray(fwd(stripped, x)),
+                               np.asarray(want), atol=2e-5)
+    hlo = fwd.lower(stripped, x).compile().as_text()
     assert "collective-permute" in hlo  # stage hops ride ppermute
 
 
