@@ -133,6 +133,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optimizer steps per host dispatch (lax.scan); >1 "
                         "amortizes dispatch overhead (~10%% through the TPU "
                         "relay at flagship shapes)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate this many micro-batch gradients per "
+                        "optimizer update (optax.MultiSteps): an effective "
+                        "batch grad_accum x larger in the same per-step "
+                        "HBM")
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
     p.add_argument("--seed_parallel", action="store_true",
                    help="train ALL seeds simultaneously as one vmapped + "
@@ -296,6 +301,7 @@ def run_experiment(seed: int, config: Dict,
         scheduler=config.get("scheduler", "none"),
         profile_steps=config.get("profile_steps", 0),
         steps_per_dispatch=config.get("steps_per_dispatch", 1),
+        grad_accum=config.get("grad_accum", 1),
         freeze_nfp=True, unfreeze_epoch=5,  # demo.py:376-377
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
     ), mesh=mesh, pretrained_backbone=pretrained_backbone,
@@ -499,6 +505,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "stem_s2d": args.stem_s2d,
         "profile_steps": args.profile_steps,
         "steps_per_dispatch": args.steps_per_dispatch,
+        "grad_accum": args.grad_accum,
         "device_augment": args.device_augment,
         "device_data": args.device_data,
         "device_eval": args.device_eval,
@@ -516,10 +523,11 @@ def main(argv: Optional[List[str]] = None) -> None:
               "serial seed loop")
         seed_parallel = False
     if seed_parallel and (args.scheduler == "plateau"
-                          or args.steps_per_dispatch > 1):
-        print("--seed_parallel does not support --scheduler plateau or "
-              "--steps_per_dispatch > 1; falling back to the serial "
-              "seed loop")
+                          or args.steps_per_dispatch > 1
+                          or args.grad_accum > 1):
+        print("--seed_parallel does not support --scheduler plateau, "
+              "--steps_per_dispatch > 1 or --grad_accum > 1; falling "
+              "back to the serial seed loop")
         seed_parallel = False
     if seed_parallel and args.resume:
         print("--resume restores per-seed checkpoints from the serial "

@@ -35,7 +35,20 @@ from .metrics import confusion_matrix_update, init_confusion
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
            "make_multi_train_step", "make_eval_step", "cross_entropy_loss",
-           "freeze_mask", "train_step_body", "eval_step_body"]
+           "freeze_mask", "train_step_body", "eval_step_body",
+           "optimizer_hyperparams"]
+
+
+def optimizer_hyperparams(opt_state):
+    """The ``inject_hyperparams`` dict (plateau scheduler), whether or not
+    the optimizer is wrapped in :class:`optax.MultiSteps` (grad_accum)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state.hyperparams
+    inner = getattr(opt_state, "inner_opt_state", None)
+    if inner is not None and hasattr(inner, "hyperparams"):
+        return inner.hyperparams
+    raise AttributeError("optimizer state carries no hyperparams "
+                         "(scheduler != 'plateau'?)")
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -120,14 +133,22 @@ def _merge_backbone(variables: Dict[str, Any],
 def create_train_state(model, rng: jax.Array, sample_batch: Dict[str, jax.Array],
                        learning_rate: float, scheduler: str = "none",
                        total_steps: int = 0,
-                       pretrained_backbone: Optional[Dict[str, Any]] = None
-                       ) -> TrainState:
+                       pretrained_backbone: Optional[Dict[str, Any]] = None,
+                       grad_accum: int = 1) -> TrainState:
     """Initialize params/batch_stats and an Adam optimizer.
 
     ``scheduler``: ``none`` (reference default, Lightning_Wrapper.py:69-79),
     ``cosine`` (decay over ``total_steps``), or ``plateau`` (the optimizer's
     learning rate is exposed via ``inject_hyperparams`` so the trainer can
     reduce it when ``val_loss`` plateaus, torch ReduceLROnPlateau-style).
+
+    ``grad_accum > 1`` wraps the optimizer in :class:`optax.MultiSteps`:
+    every train step accumulates the micro-batch gradient and parameters
+    update once per ``grad_accum`` steps with the mean — an effective
+    batch ``grad_accum×`` larger in the same per-step HBM (the TPU answer
+    to growing the reference's fixed batch past device memory). For
+    ``cosine``, ``total_steps`` counts optimizer *updates* (the trainer
+    divides its micro-step count down).
 
     ``pretrained_backbone``: optional ported timm variables
     (``{"params": ..., "batch_stats": ...}`` backbone subtree) replacing the
@@ -150,6 +171,8 @@ def create_train_state(model, rng: jax.Array, sample_batch: Dict[str, jax.Array]
         tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
     else:
         raise ValueError(f"unknown scheduler {scheduler!r}")
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accum))
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -77,6 +77,10 @@ class TrainerConfig:
     #: ResNet18 B=128 bf16) at the cost of holding K batches on device.
     #: Metrics stay exact (per-step losses/confusions come back stacked).
     steps_per_dispatch: int = 1
+    #: optimizer updates once per ``grad_accum`` train steps with the mean
+    #: gradient (optax.MultiSteps) — an effective batch ``grad_accum×``
+    #: larger in the same per-step HBM.
+    grad_accum: int = 1
     seed: int = 42
     #: catch SIGTERM during fit() — the preemption notice on cloud TPU VMs —
     #: and stop with a resumable ``last`` checkpoint instead of dying
@@ -243,13 +247,17 @@ class Trainer:
 
     def init_state(self, sample_batch, total_steps: int = 0) -> TrainState:
         rng = jax.random.PRNGKey(self.config.seed)
+        ga = max(1, int(self.config.grad_accum))
         state = create_train_state(self.model, rng,
                                    {k: jnp.asarray(v)
                                     for k, v in sample_batch.items()},
                                    self.config.learning_rate,
                                    scheduler=self.config.scheduler,
-                                   total_steps=total_steps,
-                                   pretrained_backbone=self.pretrained_backbone)
+                                   # cosine decays per optimizer UPDATE,
+                                   # of which accumulation makes 1/ga
+                                   total_steps=-(-total_steps // ga),
+                                   pretrained_backbone=self.pretrained_backbone,
+                                   grad_accum=ga)
         self.state = self._replicate_state(state)
         return self.state
 
@@ -516,7 +524,8 @@ class Trainer:
                 else:
                     sched_wait += 1
                     if sched_wait > cfg.scheduler_patience:
-                        hp = self.state.opt_state.hyperparams
+                        from .engine import optimizer_hyperparams
+                        hp = optimizer_hyperparams(self.state.opt_state)
                         new_lr = float(hp["learning_rate"]) * cfg.scheduler_factor
                         hp["learning_rate"] = jnp.asarray(new_lr,
                                                           jnp.float32)

@@ -537,3 +537,75 @@ def test_preemption_checkpoint_and_resume(tmp_path, mode):
     epochs2 = [h["epoch"] for h in result2["history"]]
     # epoch mode: continue at 2; step mode: re-run the interrupted epoch 1
     assert epochs2 == ([2, 3] if mode == "epoch" else [1, 2, 3])
+
+
+def test_grad_accum_updates_every_k_steps():
+    """grad_accum=k (optax.MultiSteps): params are bitwise unchanged for
+    the first k-1 micro steps, update at step k with the mean gradient."""
+    import jax
+
+    from neighbour_feature_pooling_tpu.train import create_train_state
+    from neighbour_feature_pooling_tpu.train.engine import make_train_step
+
+    model = get_model("resnet18", "gap_only", 4)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((8, 16, 16, 3))
+                             .astype(np.float32)),
+        "label": jnp.asarray(np.arange(8) % 4, jnp.int32),
+        "weight": jnp.ones((8,), jnp.float32),
+    }
+    k = 3
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-3,
+                               grad_accum=k)
+    p0 = jax.device_get(state.params["fc"]["kernel"])
+    step = make_train_step(4)
+    for i in range(k - 1):
+        state, loss, _ = step(state, batch, jax.random.PRNGKey(1),
+                              frozen=False)
+        np.testing.assert_array_equal(
+            jax.device_get(state.params["fc"]["kernel"]), p0)
+    state, loss, _ = step(state, batch, jax.random.PRNGKey(1), frozen=False)
+    assert np.abs(jax.device_get(
+        state.params["fc"]["kernel"]) - p0).max() > 0
+    assert int(state.step) == k
+
+
+def test_optimizer_hyperparams_wrapped_and_plain():
+    import jax
+
+    from neighbour_feature_pooling_tpu.train import create_train_state
+    from neighbour_feature_pooling_tpu.train.engine import (
+        optimizer_hyperparams)
+
+    model = get_model("resnet18", "gap_only", 2)
+    batch = {"image": jnp.zeros((2, 16, 16, 3))}
+    plain = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-3,
+                               scheduler="plateau")
+    assert float(optimizer_hyperparams(plain.opt_state)["learning_rate"]
+                 ) == pytest.approx(1e-3)
+    wrapped = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-3,
+                                 scheduler="plateau", grad_accum=2)
+    assert float(optimizer_hyperparams(wrapped.opt_state)["learning_rate"]
+                 ) == pytest.approx(1e-3)
+    none = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-3)
+    with pytest.raises(AttributeError):
+        optimizer_hyperparams(none.opt_state)
+
+
+def test_trainer_fit_with_grad_accum(tmp_path):
+    """End-to-end: grad_accum=2 trains, loss decreases, cosine total_steps
+    scales to updates."""
+    dm = SyntheticDataModule(num_classes=4, num_samples=64, image_size=32,
+                             batch_size=16)
+    model = get_model("resnet18", "texture_nfp", 4)
+    cfg = TrainerConfig(learning_rate=3e-4, max_epochs=3, patience=10,
+                        log_dir=str(tmp_path / "logs"),
+                        ckpt_dir=str(tmp_path / "ckpt"),
+                        freeze_nfp=False, tensorboard=False,
+                        scheduler="cosine", grad_accum=2)
+    trainer = Trainer(model, 4, cfg)
+    result = trainer.fit(dm)
+    hist = result["history"]
+    assert len(hist) == 3
+    assert hist[-1]["train"]["loss"] < hist[0]["train"]["loss"]
