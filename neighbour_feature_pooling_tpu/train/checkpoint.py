@@ -5,6 +5,17 @@ msgpack fallback.
 Layout: ``{ckpt_dir}/best`` and ``{ckpt_dir}/last``, each holding the full
 train state (params, batch_stats, opt_state, step) plus a small metadata
 dict (epoch, val_acc, val_loss).
+
+Sharding-aware by design: the orbax path saves the LIVE ``jax.Array``
+leaves (no ``device_get`` gather), so a ZeRO/FSDP- or tensor-parallel-
+sharded state writes shard-by-shard — on a multi-host mesh each process
+contributes only its addressable shards (orbax coordinates the write; all
+processes must call :func:`save_checkpoint`, see
+:func:`needs_collective_save`). Restore goes straight back into the
+state's placement: the target tree carries each leaf's
+``jax.sharding.Sharding``, so a resumed FSDP run never materializes the
+full state on one host. The msgpack fallback remains for environments
+without orbax — single-host only (it must gather).
 """
 
 from __future__ import annotations
@@ -15,7 +26,8 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "restore_for_inference"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "restore_for_inference",
+           "needs_collective_save"]
 
 
 def _tree_state(state) -> Dict[str, Any]:
@@ -23,15 +35,35 @@ def _tree_state(state) -> Dict[str, Any]:
             "batch_stats": state.batch_stats, "opt_state": state.opt_state}
 
 
+def needs_collective_save(state) -> bool:
+    """True when some leaf's shards span processes this one cannot
+    address — then EVERY process must call :func:`save_checkpoint`
+    (orbax writes collectively); a leader-only call would deadlock or
+    drop shards. Single-host states always return False."""
+    return any(isinstance(x, jax.Array) and not x.is_fully_addressable
+               for x in jax.tree_util.tree_leaves(_tree_state(state)))
+
+
+def _is_leader() -> bool:
+    try:
+        from ..parallel.dist import is_io_leader
+
+        return is_io_leader()
+    except Exception:
+        return True
+
+
 def save_checkpoint(path: str, state, metadata: Optional[Dict] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tree = jax.device_get(_tree_state(state))
+    tree = _tree_state(state)
     orbax_path = os.path.abspath(path) + ".orbax"
     msgpack_path = path + ".msgpack"
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
+        # live arrays: orbax writes per-shard (multi-host collective when
+        # shards are not fully addressable), no host gather
         ckptr.save(orbax_path, tree, force=True)
         ckptr.wait_until_finished()
         # remove a stale artifact from the other backend so restore (which
@@ -39,33 +71,53 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None) -> None:
         if os.path.exists(msgpack_path):
             os.remove(msgpack_path)
     except Exception:
+        if needs_collective_save(state):
+            raise RuntimeError(
+                "orbax save failed for a multi-host-sharded state; the "
+                "msgpack fallback cannot gather non-addressable shards")
         import shutil
 
         import flax.serialization
 
         with open(msgpack_path, "wb") as f:
-            f.write(flax.serialization.to_bytes(tree))
+            f.write(flax.serialization.to_bytes(jax.device_get(tree)))
         if os.path.isdir(orbax_path):
             shutil.rmtree(orbax_path, ignore_errors=True)
-    if metadata is not None:
+    if metadata is not None and _is_leader():
         with open(path + ".meta.json", "w") as f:
             json.dump(metadata, f)
 
 
+def _restore_target(tree):
+    """Abstract restore target preserving each live leaf's sharding, so
+    orbax loads shards directly onto their owning devices."""
+
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def restore_checkpoint(path: str, state):
-    """Restore a state saved by :func:`save_checkpoint` into ``state``."""
-    tree = jax.device_get(_tree_state(state))
+    """Restore a state saved by :func:`save_checkpoint` into ``state``,
+    onto ``state``'s existing shardings (resharding on load if the
+    checkpoint was written under a different mesh layout)."""
+    tree = _tree_state(state)
     orbax_path = os.path.abspath(path) + ".orbax"
     if os.path.isdir(orbax_path):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(orbax_path, tree)
+        restored = ckptr.restore(orbax_path, _restore_target(tree))
     else:
         import flax.serialization
 
         with open(path + ".msgpack", "rb") as f:
-            restored = flax.serialization.from_bytes(tree, f.read())
+            restored = flax.serialization.from_bytes(
+                jax.device_get(tree), f.read())
     meta = {}
     meta_path = path + ".meta.json"
     if os.path.exists(meta_path):

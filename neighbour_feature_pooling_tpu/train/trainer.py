@@ -46,7 +46,8 @@ from ..data.prefetch import prefetch
 from ..parallel.dist import global_batch_from_local, is_io_leader, sync_barrier
 from ..parallel.mesh import replicated_sharding
 from ..utils.tensorboard import SummaryWriter
-from .checkpoint import restore_checkpoint, save_checkpoint
+from .checkpoint import (needs_collective_save, restore_checkpoint,
+                         save_checkpoint)
 from .engine import (TrainState, create_train_state, make_eval_step,
                      make_multi_train_step, make_train_step)
 from .metrics import (init_confusion, metrics_from_confusion,
@@ -134,6 +135,14 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.best = {"val_acc": -1.0, "epoch": -1}
 
+    def _save_participant(self) -> bool:
+        """Should THIS process call ``save_checkpoint`` now? The io leader
+        always does; non-leaders join when the state's shards span hosts
+        (orbax saves collectively — a leader-only call cannot reach
+        non-addressable shards). Metadata stays leader-only inside
+        ``save_checkpoint``."""
+        return self._io_leader or needs_collective_save(self.state)
+
     _STEP_TAGS = ("loss", "accuracy", "f1", "precision", "recall")
     _TB_NAMES = {"accuracy": "acc"}  # Lightning tag spelling (train_acc, ...)
 
@@ -162,7 +171,10 @@ class Trainer:
     @staticmethod
     def _setup_logging(log_dir: str, file_handler: bool = True
                        ) -> logging.Logger:
-        logger = logging.getLogger(f"nfp_tpu.{log_dir}")
+        # key by ABSOLUTE path: python caches loggers process-wide, so a
+        # relative key would reuse a stale FileHandler after a chdir (two
+        # runs with the same relative log_dir in different cwds)
+        logger = logging.getLogger(f"nfp_tpu.{os.path.abspath(log_dir)}")
         logger.setLevel(logging.INFO)
         logger.propagate = False  # avoid duplicate lines via the root logger
         if not logger.handlers:
@@ -466,7 +478,7 @@ class Trainer:
                 if prof_active:
                     jax.profiler.stop_trace()
                     prof_active = False
-                if self._io_leader:
+                if self._save_participant():
                     save_checkpoint(
                         os.path.join(cfg.ckpt_dir, "last"), self.state,
                         {"epoch": epoch - 1,
@@ -511,7 +523,7 @@ class Trainer:
             if val_metrics["accuracy"] > self.best["val_acc"]:
                 self.best = {"val_acc": val_metrics["accuracy"],
                              "epoch": epoch}
-                if self._io_leader:
+                if self._save_participant():
                     save_checkpoint(os.path.join(cfg.ckpt_dir, "best"),
                                     self.state,
                                     {"epoch": epoch, **val_metrics})
@@ -544,7 +556,7 @@ class Trainer:
             # ``last`` is written AFTER the counter updates so its metadata
             # carries the post-epoch early-stop/scheduler state (the LR
             # itself rides in the checkpointed opt_state.hyperparams)
-            if self._io_leader:
+            if self._save_participant():
                 save_checkpoint(
                     os.path.join(cfg.ckpt_dir, "last"), self.state,
                     {"epoch": epoch, **val_metrics,
