@@ -34,8 +34,17 @@ def place_leaf(x, sharding: "NamedSharding"):
     """
     if not isinstance(x, (jax.Array, np.ndarray, jax.numpy.ndarray)):
         return x
-    if isinstance(x, jax.Array) and x.sharding == sharding:
-        return x
+    if isinstance(x, jax.Array):
+        # equivalence, not equality: a jit/restore output can carry a
+        # different-but-identical sharding object (e.g. P() vs
+        # P(None, None)) and must not bounce through the host
+        if x.sharding.is_equivalent_to(sharding, x.ndim):
+            return x
+        if not x.is_fully_addressable:
+            # multi-host global array: reshard on-device (device_put
+            # compiles a resharding program; np.asarray would need to
+            # fetch shards this process cannot address)
+            return jax.device_put(x, sharding)
     arr = np.asarray(x)
     return jax.make_array_from_callback(arr.shape, sharding,
                                         lambda idx: arr[idx])

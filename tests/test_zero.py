@@ -245,6 +245,42 @@ class TestTrainerZero(object):
                    and _shard_bytes(m) == int(np.prod(m.shape)) // 8
                    for m in mu)
 
+    def test_trainer_fsdp_resume(self, tmp_path):
+        """fit → fit(resume=True) under zero='fsdp': the `last` checkpoint
+        (written shard-by-shard from the live sharded state) restores onto
+        the new Trainer's FSDP placements and training continues from the
+        next epoch with the layout intact."""
+        from neighbour_feature_pooling_tpu.data.datamodules import (
+            SyntheticDataModule)
+        from neighbour_feature_pooling_tpu.train import (
+            Trainer, TrainerConfig)
+
+        dm = SyntheticDataModule(num_classes=NUM_CLASSES, num_samples=32,
+                                 image_size=16, batch_size=8)
+        model = get_model("resnet18", "gap_only", NUM_CLASSES)
+        mesh = create_mesh()
+        kw = dict(log_dir=str(tmp_path / "l"), ckpt_dir=str(tmp_path / "c"),
+                  tensorboard=False)
+        tr = Trainer(model, NUM_CLASSES,
+                     TrainerConfig(max_epochs=1, **kw),
+                     mesh=mesh, zero="fsdp")
+        try:
+            tr.fit(dm)
+        finally:
+            tr.close()
+
+        tr2 = Trainer(model, NUM_CLASSES,
+                      TrainerConfig(max_epochs=3, **kw),
+                      mesh=mesh, zero="fsdp")
+        try:
+            res = tr2.fit(dm, resume=True)
+        finally:
+            tr2.close()
+        # epochs 1..2 only: epoch 0 came from the checkpoint
+        assert [h["epoch"] for h in res["history"]] == [1, 2]
+        pk = tr2.state.params["backbone"]["layer4_0"]["conv1"]["kernel"]
+        assert _shard_bytes(pk) == int(np.prod(pk.shape)) // 8
+
     def test_trainer_zero_validates(self):
         from neighbour_feature_pooling_tpu.train import (
             Trainer, TrainerConfig)
