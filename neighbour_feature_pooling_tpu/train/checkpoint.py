@@ -27,7 +27,39 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "restore_for_inference",
-           "needs_collective_save"]
+           "needs_collective_save", "wait_for_saves"]
+
+# In-flight async saves: orbax_path -> (checkpointer, msgpack_path,
+# meta_path, metadata). Orbax's StandardCheckpointer is async-native (the
+# blocking part is only serializing device shards to host; the filesystem
+# write + commit-rename runs on a background thread), so a ``block=False``
+# save overlaps checkpoint IO with the next training epoch. Metadata is
+# deferred to the matching :func:`wait_for_saves` so ``meta.json`` is
+# never NEWER than the data it describes (a crash mid-write then leaves
+# the previous checkpoint + previous metadata, and resume at worst
+# re-runs one epoch — never skips one).
+_INFLIGHT: Dict[str, Tuple[Any, str, str, Optional[Dict]]] = {}
+
+
+def wait_for_saves(path: Optional[str] = None) -> None:
+    """Block until pending async saves are durable (all of them, or just
+    ``path``'s), then finalize their deferred metadata writes."""
+    for orbax_path in list(_INFLIGHT):
+        if path is not None and orbax_path != os.path.abspath(path) + ".orbax":
+            continue
+        ckptr, msgpack_path, meta_path, metadata = _INFLIGHT.pop(orbax_path)
+        ckptr.wait_until_finished()
+        try:
+            ckptr.close()  # free the background thread pool (long runs
+        except Exception:  # make one checkpointer per epoch per path)
+            pass
+        # remove a stale artifact from the other backend so restore (which
+        # prefers orbax) can never pick up an older save
+        if os.path.exists(msgpack_path):
+            os.remove(msgpack_path)
+        if metadata is not None and _is_leader():
+            with open(meta_path, "w") as f:
+                json.dump(metadata, f)
 
 
 def _tree_state(state) -> Dict[str, Any]:
@@ -53,11 +85,23 @@ def _is_leader() -> bool:
         return True
 
 
-def save_checkpoint(path: str, state, metadata: Optional[Dict] = None) -> None:
+def save_checkpoint(path: str, state, metadata: Optional[Dict] = None,
+                    block: bool = True) -> None:
+    """Save the train state to ``path`` (+ ``.orbax``/``.msgpack``).
+
+    ``block=False`` returns once device shards are serialized to host;
+    the filesystem write and the commit rename continue on orbax's
+    background thread, and the metadata write is deferred with them.
+    A later :func:`save_checkpoint`/:func:`restore_checkpoint` on the
+    same path (or :func:`wait_for_saves`) flushes the pending save
+    first. On a multi-host mesh EVERY process must make the same
+    save/flush calls (the write is collective)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tree = _tree_state(state)
     orbax_path = os.path.abspath(path) + ".orbax"
     msgpack_path = path + ".msgpack"
+    meta_path = path + ".meta.json"
+    wait_for_saves(path)  # one in-flight save per path
     try:
         import orbax.checkpoint as ocp
 
@@ -65,12 +109,12 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None) -> None:
         # live arrays: orbax writes per-shard (multi-host collective when
         # shards are not fully addressable), no host gather
         ckptr.save(orbax_path, tree, force=True)
-        ckptr.wait_until_finished()
-        # remove a stale artifact from the other backend so restore (which
-        # prefers orbax) can never pick up an older save
-        if os.path.exists(msgpack_path):
-            os.remove(msgpack_path)
+        _INFLIGHT[orbax_path] = (ckptr, msgpack_path, meta_path, metadata)
+        if block:
+            wait_for_saves(path)
+        return
     except Exception:
+        _INFLIGHT.pop(orbax_path, None)
         if needs_collective_save(state):
             raise RuntimeError(
                 "orbax save failed for a multi-host-sharded state; the "
@@ -84,7 +128,7 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None) -> None:
         if os.path.isdir(orbax_path):
             shutil.rmtree(orbax_path, ignore_errors=True)
     if metadata is not None and _is_leader():
-        with open(path + ".meta.json", "w") as f:
+        with open(meta_path, "w") as f:
             json.dump(metadata, f)
 
 
@@ -105,6 +149,7 @@ def restore_checkpoint(path: str, state):
     """Restore a state saved by :func:`save_checkpoint` into ``state``,
     onto ``state``'s existing shardings (resharding on load if the
     checkpoint was written under a different mesh layout)."""
+    wait_for_saves(path)
     tree = _tree_state(state)
     orbax_path = os.path.abspath(path) + ".orbax"
     if os.path.isdir(orbax_path):
@@ -133,6 +178,7 @@ def restore_for_inference(path: str):
     """Restore only (params, batch_stats) — structure-free, so checkpoints
     written under ANY optimizer/scheduler configuration load (the full
     restore requires a matching opt_state pytree)."""
+    wait_for_saves(path)
     orbax_path = os.path.abspath(path) + ".orbax"
     if os.path.isdir(orbax_path):
         import orbax.checkpoint as ocp

@@ -47,7 +47,7 @@ from ..parallel.dist import global_batch_from_local, is_io_leader, sync_barrier
 from ..parallel.mesh import replicated_sharding
 from ..utils.tensorboard import SummaryWriter
 from .checkpoint import (needs_collective_save, restore_checkpoint,
-                         save_checkpoint)
+                         save_checkpoint, wait_for_saves)
 from .engine import (TrainState, create_train_state, make_eval_step,
                      make_multi_train_step, make_train_step)
 from .metrics import (init_confusion, metrics_from_confusion,
@@ -92,6 +92,14 @@ class TrainerConfig:
     #: epoch from its start — some batches are seen twice).
     handle_preemption: bool = True
     preempt_mode: str = "epoch"  # epoch | step
+    #: write the per-epoch best/last checkpoints asynchronously: the save
+    #: returns once device shards are serialized to host and the
+    #: filesystem write/commit overlaps the next epoch (orbax background
+    #: thread). Restores, fit()'s return and close() flush pending saves,
+    #: and a crash mid-write leaves the previous committed checkpoint (the
+    #: commit is an atomic rename), so durability semantics match blocking
+    #: saves shifted one flush point later.
+    async_ckpt: bool = True
 
 
 class Trainer:
@@ -190,8 +198,10 @@ class Trainer:
         return logger
 
     def close(self) -> None:
-        """Release the TensorBoard event-file handle (multi-seed CLI runs
-        construct one Trainer per seed; unclosed handles accumulate)."""
+        """Flush pending async checkpoint saves and release the TensorBoard
+        event-file handle (multi-seed CLI runs construct one Trainer per
+        seed; unclosed handles accumulate)."""
+        wait_for_saves()
         if self.tb is not None:
             self.tb.close()
 
@@ -526,7 +536,8 @@ class Trainer:
                 if self._save_participant():
                     save_checkpoint(os.path.join(cfg.ckpt_dir, "best"),
                                     self.state,
-                                    {"epoch": epoch, **val_metrics})
+                                    {"epoch": epoch, **val_metrics},
+                                    block=not cfg.async_ckpt)
 
             # ReduceLROnPlateau on val_loss (Lightning_Wrapper.py:71-78)
             if cfg.scheduler == "plateau":
@@ -567,7 +578,8 @@ class Trainer:
                          "patience_left": patience_left},
                      "sched": {"best": (None if sched_best == float("inf")
                                         else sched_best),
-                               "wait": sched_wait}})
+                               "wait": sched_wait}},
+                    block=not cfg.async_ckpt)
             if stop:
                 self.logger.info(
                     f"early stopping at epoch {epoch} "
@@ -584,6 +596,9 @@ class Trainer:
                 break
         if prof_active:  # run ended before the trace filled
             jax.profiler.stop_trace()
+        # fit() returns with its checkpoints durable: flush any async
+        # best/last saves still writing in the background
+        wait_for_saves()
         return {"history": history, "best": self.best,
                 "preempted": preempted}
 

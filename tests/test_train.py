@@ -609,3 +609,45 @@ def test_trainer_fit_with_grad_accum(tmp_path):
     hist = result["history"]
     assert len(hist) == 3
     assert hist[-1]["train"]["loss"] < hist[0]["train"]["loss"]
+
+
+def test_async_checkpoint_save(tmp_path):
+    """block=False returns with the write still in flight; metadata is
+    deferred to the flush so meta.json is never newer than the data; a
+    restore on the same path flushes first and sees the full state."""
+    from neighbour_feature_pooling_tpu.train import (create_train_state,
+                                                     make_train_step)
+    from neighbour_feature_pooling_tpu.train.checkpoint import (
+        restore_checkpoint, save_checkpoint, wait_for_saves)
+
+    model = get_model("resnet18", "gap_only", 4)
+    rng = np.random.default_rng(0)
+    batch = {"image": jnp.asarray(rng.standard_normal(
+                 (4, 16, 16, 3)).astype(np.float32)),
+             "label": jnp.asarray(np.arange(4) % 4, jnp.int32),
+             "weight": jnp.ones((4,), jnp.float32)}
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-3)
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, state, {"epoch": 0}, block=False)
+    # metadata write is deferred until the flush (the data may or may not
+    # have committed yet; meta must not lead it)
+    assert not os.path.exists(path + ".meta.json")
+
+    # the state buffers can advance (and be donated) while the save is in
+    # flight: orbax copied device shards to host before returning
+    step = make_train_step(4)
+    state2, loss, _ = step(state, batch, jax.random.PRNGKey(1),
+                           frozen=False)
+    assert np.isfinite(float(loss))
+
+    restored, meta = restore_checkpoint(path, state2)  # flushes pending
+    assert meta == {"epoch": 0}
+    assert os.path.exists(path + ".meta.json")
+    assert int(restored.step) == 0  # pre-step snapshot, not state2
+
+    # second async save to the SAME path waits out the first
+    save_checkpoint(path, state2, {"epoch": 1}, block=False)
+    save_checkpoint(path, state2, {"epoch": 2}, block=False)
+    wait_for_saves()
+    _, meta = restore_checkpoint(path, state2)
+    assert meta == {"epoch": 2}
