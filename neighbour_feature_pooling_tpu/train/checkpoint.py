@@ -44,6 +44,8 @@ _INFLIGHT: Dict[str, Tuple[Any, str, str, Optional[Dict]]] = {}
 def wait_for_saves(path: Optional[str] = None) -> None:
     """Block until pending async saves are durable (all of them, or just
     ``path``'s), then finalize their deferred metadata writes."""
+    import contextlib
+
     for orbax_path in list(_INFLIGHT):
         if path is not None and orbax_path != os.path.abspath(path) + ".orbax":
             continue
@@ -54,8 +56,9 @@ def wait_for_saves(path: Optional[str] = None) -> None:
         except Exception:  # make one checkpointer per epoch per path)
             pass
         # remove a stale artifact from the other backend so restore (which
-        # prefers orbax) can never pick up an older save
-        if os.path.exists(msgpack_path):
+        # prefers orbax) can never pick up an older save; suppress the
+        # collective-save race where a peer process unlinks it first
+        with contextlib.suppress(FileNotFoundError):
             os.remove(msgpack_path)
         if metadata is not None and _is_leader():
             with open(meta_path, "w") as f:
@@ -98,11 +101,17 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None,
     save/flush calls (the write is collective)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tree = _tree_state(state)
-    orbax_path = os.path.abspath(path) + ".orbax"
-    msgpack_path = path + ".msgpack"
-    meta_path = path + ".meta.json"
-    wait_for_saves(path)  # one in-flight save per path
+    # every sibling path is anchored to the abspath captured NOW: the
+    # deferred-metadata flush may run after a chdir
+    apath = os.path.abspath(path)
+    orbax_path = apath + ".orbax"
+    msgpack_path = apath + ".msgpack"
+    meta_path = apath + ".meta.json"
     try:
+        # one in-flight save per path; a deferred failure of the PREVIOUS
+        # async write surfaces here and takes the same fallback as a
+        # blocking-save failure would
+        wait_for_saves(path)
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
@@ -151,20 +160,27 @@ def restore_checkpoint(path: str, state):
     checkpoint was written under a different mesh layout)."""
     wait_for_saves(path)
     tree = _tree_state(state)
-    orbax_path = os.path.abspath(path) + ".orbax"
+    apath = os.path.abspath(path)
+    orbax_path = apath + ".orbax"
     if os.path.isdir(orbax_path):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(orbax_path, _restore_target(tree))
     else:
+        if needs_collective_save(state):
+            raise RuntimeError(
+                "only a msgpack checkpoint exists at "
+                f"{apath!r}, and the msgpack path cannot restore into a "
+                "multi-host-sharded state (it must gather the target on "
+                "one host); re-save with orbax available")
         import flax.serialization
 
-        with open(path + ".msgpack", "rb") as f:
+        with open(apath + ".msgpack", "rb") as f:
             restored = flax.serialization.from_bytes(
                 jax.device_get(tree), f.read())
     meta = {}
-    meta_path = path + ".meta.json"
+    meta_path = apath + ".meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
@@ -177,17 +193,26 @@ def restore_checkpoint(path: str, state):
 def restore_for_inference(path: str):
     """Restore only (params, batch_stats) — structure-free, so checkpoints
     written under ANY optimizer/scheduler configuration load (the full
-    restore requires a matching opt_state pytree)."""
+    restore requires a matching opt_state pytree). Arrays come back as
+    host numpy: checkpoints are saved with their live mesh shardings, and
+    a targetless orbax restore would try to rebuild the saving topology —
+    which the serving host (1 chip, vs the training pod) doesn't have."""
     wait_for_saves(path)
-    orbax_path = os.path.abspath(path) + ".orbax"
+    apath = os.path.abspath(path)
+    orbax_path = apath + ".orbax"
     if os.path.isdir(orbax_path):
+        import numpy as np
         import orbax.checkpoint as ocp
 
-        ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(orbax_path)
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(orbax_path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray),
+            meta.tree if hasattr(meta, "tree") else meta)
+        restored = ckptr.restore(orbax_path, restore_args=restore_args)
     else:
         import flax.serialization
 
-        with open(path + ".msgpack", "rb") as f:
+        with open(apath + ".msgpack", "rb") as f:
             restored = flax.serialization.msgpack_restore(f.read())
     return restored["params"], restored["batch_stats"]

@@ -335,3 +335,26 @@ class TestShardedCheckpoint:
         assert pk2.sharding.spec == P()
         np.testing.assert_array_equal(
             np.asarray(pk2), np.asarray(jax.device_get(pk)))
+
+    def test_restore_for_inference_is_topology_free(self, tmp_path):
+        """A checkpoint saved from a mesh-sharded live state must load for
+        serving WITHOUT the saving topology: restore_for_inference forces
+        host-numpy leaves (a targetless orbax restore would try to rebuild
+        the training pod's shardings on the serving host)."""
+        from neighbour_feature_pooling_tpu.train.checkpoint import (
+            restore_for_inference, save_checkpoint)
+
+        model = get_model("resnet18", "gap_only", NUM_CLASSES)
+        state = _state(model, _batch())
+        mesh = create_mesh()
+        s_f = shard_state_zero(state, mesh, "fsdp")
+        path = str(tmp_path / "ck")
+        save_checkpoint(path, s_f)
+
+        params, batch_stats = restore_for_inference(path)
+        leaves = jax.tree_util.tree_leaves((params, batch_stats))
+        assert leaves and all(isinstance(x, np.ndarray) for x in leaves)
+        pk = params["backbone"]["layer4_0"]["conv1"]["kernel"]
+        np.testing.assert_array_equal(
+            pk, np.asarray(jax.device_get(
+                s_f.params["backbone"]["layer4_0"]["conv1"]["kernel"])))
