@@ -224,6 +224,44 @@ class Predictor:
         self._build_forward()
         return len(self._act_scales)
 
+    def reload(self, checkpoint: Optional[str] = None) -> str:
+        """Hot-swap weights from ``checkpoint`` (default: the build-time
+        path) — the online-serving weight-update path (a freshly trained
+        ``best`` lands on disk; the endpoint picks it up without a
+        restart).
+
+        The fp32/bf16 tier swaps the variables the already-compiled
+        forward is called with — NO retrace/recompile. The int8 tier must
+        rebuild (weight prequantization and BN folding are baked against
+        the old weights), and any calibrated activation scales / verified
+        chains are dropped (they were measured against the old weights —
+        call :meth:`calibrate` again). Returns the checkpoint path used.
+        """
+        path = checkpoint or self.checkpoint
+        if not path:
+            raise ValueError("no checkpoint to reload: the predictor was "
+                             "built without one and none was given")
+        params, batch_stats = restore_for_inference(path)
+        self.checkpoint = path
+        self._variables = {"params": params, "batch_stats": batch_stats}
+        if self.quantize == "int8":
+            from .quant import QuantConfig, prequantize_weights
+
+            self._variables["int8w"] = prequantize_weights(
+                self._variables,
+                QuantConfig(quantize_spatial=self.quantize_spatial))
+            self._act_scales = None
+            self._int8_chains = None
+            self._build_forward()
+        elif getattr(self, "_mesh", None) is not None:
+            from .parallel.mesh import replicated_sharding
+
+            self._serve_variables = jax.device_put(
+                self._variables, replicated_sharding(self._mesh))
+        else:
+            self._serve_variables = self._variables
+        return path
+
     def preprocess(self, images: Sequence[np.ndarray]) -> np.ndarray:
         """HWC float arrays in [0,1] (any sizes) → normalized model input."""
         return np.stack([eval_transform(np.asarray(im, np.float32),

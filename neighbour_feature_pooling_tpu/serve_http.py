@@ -20,6 +20,11 @@ Routes:
   .npy (N,H,W,C) float32 array>}`` for efficient clients. Optional
   ``"preprocessed": true`` skips the resize/normalize transform.
   Response: ``{"probabilities": [[...], ...], "label": [...]}``.
+- ``POST /reload`` → body ``{"checkpoint": <path prefix>}`` (or ``{}``
+  to re-read the build-time path): hot-swap weights without a restart —
+  in-flight requests finish on the old weights, the swap happens under
+  the device lock, and the fp32/bf16 tier never recompiles
+  (``Predictor.reload``). 501 for frozen exported artifacts.
 
 Requests are served one at a time (a lock serializes device access —
 the predictor already chunks/pads each request to its compiled batch
@@ -68,6 +73,7 @@ class PredictionServer:
         self._requests = 0                # successful /predict calls
         self._errors = 0                  # 4xx/5xx /predict responses
         self._images = 0                  # images classified
+        self._reloads = 0                 # successful /reload calls
         self._lat_sum = 0.0               # seconds in predictor.predict
         self._lat_buckets = [0] * (len(self.BUCKETS) + 1)
 
@@ -118,6 +124,19 @@ class PredictionServer:
         with self._stats_lock:
             self._errors += 1
 
+    def _reload(self, payload: dict) -> dict:
+        reload_fn = getattr(self.predictor, "reload", None)
+        if reload_fn is None:
+            raise NotImplementedError(
+                "this predictor is a frozen artifact (no reload); restart "
+                "the endpoint with the new --exported directory")
+        ckpt = payload.get("checkpoint")
+        with self._lock:  # in-flight requests finish on the old weights
+            path = reload_fn(ckpt)
+        with self._stats_lock:
+            self._reloads += 1
+        return {"status": "reloaded", "checkpoint": path}
+
     def _metrics_text(self) -> str:
         """Prometheus text exposition of the serving counters."""
         with self._stats_lock:
@@ -128,6 +147,8 @@ class PredictionServer:
                 f"nfp_predict_errors_total {self._errors}",
                 "# TYPE nfp_predict_images_total counter",
                 f"nfp_predict_images_total {self._images}",
+                "# TYPE nfp_reloads_total counter",
+                f"nfp_reloads_total {self._reloads}",
                 "# TYPE nfp_predict_latency_seconds histogram",
             ]
             acc = 0
@@ -195,7 +216,7 @@ class PredictionServer:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/predict":
+                if self.path not in ("/predict", "/reload"):
                     self._send(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -204,7 +225,15 @@ class PredictionServer:
                         self._send(413, {"error": "body too large"})
                         return
                     payload = json.loads(self.rfile.read(n) or b"{}")
-                    self._send(200, server._predict(payload))
+                    if self.path == "/reload":
+                        self._send(200, server._reload(payload))
+                    else:
+                        self._send(200, server._predict(payload))
+                except NotImplementedError as e:
+                    self._send(501, {"error": str(e)})
+                except FileNotFoundError as e:
+                    server._count_error()
+                    self._send(400, {"error": f"checkpoint not found: {e}"})
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     server._count_error()
                     self._send(400, {"error": str(e)})

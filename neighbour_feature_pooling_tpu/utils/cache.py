@@ -14,12 +14,43 @@ __all__ = ["enable_compilation_cache"]
 _DEFAULT_DIR = os.path.expanduser("~/.cache/nfp_tpu_xla")
 
 
+def _host_fingerprint() -> str:
+    """Hash of (jaxlib version, host CPU flags). XLA:CPU cache entries are
+    AOT machine code whose cache key does NOT cover the exact CPU feature
+    set — an entry compiled in a container scheduled on different hardware
+    (or under a different LLVM feature table) loads with a 'machine type
+    doesn't match' warning and can SIGILL/abort at execution (observed:
+    metrics_from_confusion aborting inside a cached CPU executable). The
+    fingerprint keys the cache dir so entries never cross environments."""
+    import hashlib
+    import re
+
+    parts = []
+    try:
+        import jaxlib
+
+        parts.append(getattr(jaxlib, "__version__", ""))
+    except Exception:
+        pass
+    try:
+        with open("/proc/cpuinfo") as f:
+            m = re.search(r"flags\s*:\s*(.*)", f.read())
+        if m:
+            parts.append(m.group(1))
+    except OSError:
+        import platform
+
+        parts.append(platform.processor())
+    return hashlib.sha256(" ".join(parts).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> bool:
     """Best-effort enablement; returns True when active."""
     import jax
 
     try:
-        path = cache_dir or os.environ.get("NFP_TPU_CACHE_DIR", _DEFAULT_DIR)
+        base = cache_dir or os.environ.get("NFP_TPU_CACHE_DIR", _DEFAULT_DIR)
+        path = os.path.join(base, _host_fingerprint())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -209,3 +209,48 @@ class TestDataParallelServing:
                          data_parallel=True)
         with pytest.raises(ValueError, match="data_parallel"):
             export_predictor(pred, str(tmp_path / "x"))
+
+
+def test_predictor_reload_hot_swaps_weights(tmp_path):
+    """reload() swaps in a newer checkpoint's weights without rebuilding
+    the compiled forward (fp32 tier): predictions change to match a fresh
+    predictor built on the new checkpoint."""
+    import jax.numpy as jnp
+
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.train import create_train_state
+    from neighbour_feature_pooling_tpu.train.checkpoint import (
+        save_checkpoint)
+
+    model = get_model("resnet18", "gap_only", 3)
+    dummy = {"image": jnp.zeros((1, 32, 32, 3), jnp.float32)}
+    s_a = create_train_state(model, jax.random.PRNGKey(0), dummy, 1e-3)
+    s_b = create_train_state(model, jax.random.PRNGKey(7), dummy, 1e-3)
+    save_checkpoint(str(tmp_path / "a"), s_a)
+    save_checkpoint(str(tmp_path / "b"), s_b)
+
+    p = Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
+                  input_size=32, resize_size=36,
+                  checkpoint=str(tmp_path / "a"))
+    rng = np.random.default_rng(0)
+    imgs = [rng.random((32, 32, 3)).astype(np.float32) for _ in range(4)]
+    out_a = p.predict(imgs)
+    fwd_before = p._forward  # fp32 tier: reload must not rebuild
+
+    assert p.reload(str(tmp_path / "b")) == str(tmp_path / "b")
+    assert p._forward is fwd_before
+    out_b = p.predict(imgs)
+    assert not np.allclose(out_a["probabilities"], out_b["probabilities"])
+
+    fresh = Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
+                      input_size=32, resize_size=36,
+                      checkpoint=str(tmp_path / "b"))
+    np.testing.assert_allclose(out_b["probabilities"],
+                               fresh.predict(imgs)["probabilities"],
+                               atol=1e-6)
+
+    # default path: re-reads the last-reloaded checkpoint
+    assert p.reload() == str(tmp_path / "b")
+    with pytest.raises(ValueError):
+        Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
+                  input_size=32, resize_size=36).reload()

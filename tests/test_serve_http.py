@@ -132,3 +132,76 @@ class TestMetrics:
         assert (after['nfp_predict_latency_seconds_bucket{le="+Inf"}']
                 == after["nfp_predict_requests_total"])
         assert after["nfp_predict_latency_seconds_sum"] > 0
+
+
+class TestReload:
+    def test_reload_route_hot_swaps(self, tmp_path):
+        """POST /reload swaps checkpoints under the device lock; the
+        endpoint keeps serving (no restart) and predictions change."""
+        import jax
+        import jax.numpy as jnp
+
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.serve import Predictor
+        from neighbour_feature_pooling_tpu.serve_http import PredictionServer
+        from neighbour_feature_pooling_tpu.train import create_train_state
+        from neighbour_feature_pooling_tpu.train.checkpoint import (
+            save_checkpoint)
+
+        model = get_model("resnet18", "gap_only", 3)
+        dummy = {"image": jnp.zeros((1, 32, 32, 3), jnp.float32)}
+        for seed, name in ((0, "a"), (7, "b")):
+            save_checkpoint(
+                str(tmp_path / name),
+                create_train_state(model, jax.random.PRNGKey(seed), dummy,
+                                   1e-3))
+        pred = Predictor("resnet18", "gap_only", num_classes=3,
+                         batch_size=4, input_size=32, resize_size=36,
+                         checkpoint=str(tmp_path / "a"))
+        srv = PredictionServer(pred, host="127.0.0.1", port=0)
+        srv.start(block=False)
+        try:
+            img = np.random.default_rng(0).random((32, 32, 3)).tolist()
+            _, before = _post(srv, "/predict", {"instances": [img]})
+            code, body = _post(srv, "/reload",
+                               {"checkpoint": str(tmp_path / "b")})
+            assert code == 200 and body["status"] == "reloaded"
+            assert body["checkpoint"] == str(tmp_path / "b")
+            _, after = _post(srv, "/predict", {"instances": [img]})
+            assert before["probabilities"] != after["probabilities"]
+            code, _ = _post(srv, "/reload", {})  # re-read current path
+            assert code == 200
+            code, body = _post(srv, "/reload",
+                               {"checkpoint": str(tmp_path / "missing")})
+            assert code == 400
+            _, m = _get_raw(srv, "/metrics")
+            assert "nfp_reloads_total 2" in m
+        finally:
+            srv.stop()
+
+    def test_reload_501_for_exported(self, tmp_path):
+        """Frozen exported artifacts cannot reload — 501, server stays up."""
+        from neighbour_feature_pooling_tpu.serve import (Predictor,
+                                                         export_predictor,
+                                                         load_exported)
+        from neighbour_feature_pooling_tpu.serve_http import PredictionServer
+
+        pred = Predictor("resnet18", "gap_only", num_classes=2,
+                         batch_size=2, input_size=24, resize_size=24)
+        export_predictor(pred, str(tmp_path / "art"))
+        srv = PredictionServer(load_exported(str(tmp_path / "art")),
+                               host="127.0.0.1", port=0)
+        srv.start(block=False)
+        try:
+            code, body = _post(srv, "/reload", {})
+            assert code == 501
+            code, _ = _get(srv, "/healthz")
+            assert code == 200
+        finally:
+            srv.stop()
+
+
+def _get_raw(srv, path):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, r.read().decode()
