@@ -162,6 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(and under fsdp, weight) memory drops by the "
                         "data-axis size. Composes with --model_parallel")
     p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--async_ckpt", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="overlap best/last checkpoint writes with the next "
+                        "epoch (orbax background commit; "
+                        "TrainerConfig.async_ckpt). --no-async_ckpt makes "
+                        "every save block until durable")
     p.add_argument("--resume", action="store_true",
                    help="restore each seed's `last` checkpoint before "
                         "training (continues an interrupted/preempted run "
@@ -302,6 +308,7 @@ def run_experiment(seed: int, config: Dict,
         profile_steps=config.get("profile_steps", 0),
         steps_per_dispatch=config.get("steps_per_dispatch", 1),
         grad_accum=config.get("grad_accum", 1),
+        async_ckpt=bool(config.get("async_ckpt", True)),
         freeze_nfp=True, unfreeze_epoch=5,  # demo.py:376-377
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
     ), mesh=mesh, pretrained_backbone=pretrained_backbone,
@@ -495,6 +502,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "num_devices": args.num_devices,
         "model_parallel": args.model_parallel,
         "zero": args.zero,
+        "async_ckpt": args.async_ckpt,
         "resume": args.resume,
         "bf16": args.bf16,
         "scheduler": args.scheduler,
