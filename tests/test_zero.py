@@ -358,3 +358,34 @@ class TestShardedCheckpoint:
         np.testing.assert_array_equal(
             pk, np.asarray(jax.device_get(
                 s_f.params["backbone"]["layer4_0"]["conv1"]["kernel"])))
+
+
+class TestZeroComposesWithDispatchAndAccum:
+    def test_trainer_fsdp_multi_dispatch_grad_accum(self, tmp_path):
+        """zero='fsdp' × steps_per_dispatch=2 × grad_accum=2 through the
+        Trainer: the scanned multi-step runs over the sharded donated
+        state, the MultiSteps wrapper's accumulator shards with the
+        moments, and the layout survives to the fitted state."""
+        from neighbour_feature_pooling_tpu.data.datamodules import (
+            SyntheticDataModule)
+        from neighbour_feature_pooling_tpu.train import (
+            Trainer, TrainerConfig)
+
+        dm = SyntheticDataModule(num_classes=NUM_CLASSES, num_samples=64,
+                                 image_size=16, batch_size=8)
+        model = get_model("resnet18", "gap_only", NUM_CLASSES)
+        tr = Trainer(model, NUM_CLASSES,
+                     TrainerConfig(max_epochs=2, steps_per_dispatch=2,
+                                   grad_accum=2,
+                                   log_dir=str(tmp_path / "l"),
+                                   ckpt_dir=str(tmp_path / "c"),
+                                   tensorboard=False),
+                     mesh=create_mesh(), zero="fsdp")
+        try:
+            res = tr.fit(dm)
+        finally:
+            tr.close()
+        assert len(res["history"]) == 2
+        assert np.isfinite(res["history"][-1]["train"]["loss"])
+        pk = tr.state.params["backbone"]["layer4_0"]["conv1"]["kernel"]
+        assert _shard_bytes(pk) == int(np.prod(pk.shape)) // 8
