@@ -242,25 +242,65 @@ class Predictor:
             raise ValueError("no checkpoint to reload: the predictor was "
                              "built without one and none was given")
         params, batch_stats = restore_for_inference(path)
-        self.checkpoint = path
-        self._variables = {"params": params, "batch_stats": batch_stats}
+        new_vars = {"params": params, "batch_stats": batch_stats}
+        # validate BEFORE touching any state: restore_for_inference is
+        # structure-free, so a checkpoint from a different model/classes
+        # would otherwise 'succeed' here and poison every later predict
+        self._check_compatible(new_vars, path)
         if self.quantize == "int8":
             from .quant import QuantConfig, prequantize_weights
 
-            self._variables["int8w"] = prequantize_weights(
-                self._variables,
+            new_vars["int8w"] = prequantize_weights(
+                new_vars,
                 QuantConfig(quantize_spatial=self.quantize_spatial))
-            self._act_scales = None
+            # commit + rebuild; roll back wholesale if the BN-folding
+            # trace / probe fails so the endpoint keeps serving the old
+            # weights instead of a mixed state
+            saved = (self.checkpoint, self._variables, self._act_scales,
+                     self._int8_chains, self._forward,
+                     self._serve_variables,
+                     getattr(self, "_quant_config", None))
+            self.checkpoint, self._variables = path, new_vars
+            self._act_scales = None   # calibrated against the old weights
             self._int8_chains = None
-            self._build_forward()
+            try:
+                self._build_forward()
+            except Exception:
+                (self.checkpoint, self._variables, self._act_scales,
+                 self._int8_chains, self._forward, self._serve_variables,
+                 self._quant_config) = saved
+                raise
         elif getattr(self, "_mesh", None) is not None:
             from .parallel.mesh import replicated_sharding
 
-            self._serve_variables = jax.device_put(
-                self._variables, replicated_sharding(self._mesh))
+            sv = jax.device_put(new_vars, replicated_sharding(self._mesh))
+            self.checkpoint, self._variables = path, new_vars
+            self._serve_variables = sv
         else:
-            self._serve_variables = self._variables
+            self.checkpoint, self._variables = path, new_vars
+            self._serve_variables = new_vars
         return path
+
+    def _check_compatible(self, new_vars: Dict, path: str) -> None:
+        """Reject a checkpoint whose (params, batch_stats) tree or leaf
+        shapes/dtypes differ from the serving model's."""
+        def spec(tree):
+            return jax.tree_util.tree_map(
+                lambda a: (tuple(np.shape(a)), np.asarray(a).dtype
+                           if not hasattr(a, "dtype") else a.dtype), tree)
+
+        want = {k: self._variables[k] for k in ("params", "batch_stats")}
+        got = {k: new_vars[k] for k in ("params", "batch_stats")}
+        try:
+            same = spec(want) == spec(got)
+        except ValueError:  # tree structure mismatch inside tree_map
+            same = False
+        if not same:
+            raise ValueError(
+                f"checkpoint {path!r} is incompatible with this predictor "
+                f"({self.model_type}/{self.model_variant}/"
+                f"{self.num_classes} classes): parameter tree or leaf "
+                "shapes differ")
 
     def preprocess(self, images: Sequence[np.ndarray]) -> np.ndarray:
         """HWC float arrays in [0,1] (any sizes) → normalized model input."""

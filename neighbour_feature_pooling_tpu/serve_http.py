@@ -24,7 +24,14 @@ Routes:
   to re-read the build-time path): hot-swap weights without a restart —
   in-flight requests finish on the old weights, the swap happens under
   the device lock, and the fp32/bf16 tier never recompiles
-  (``Predictor.reload``). 501 for frozen exported artifacts.
+  (``Predictor.reload``; incompatible checkpoints are rejected with 400
+  and the old weights keep serving). The int8 tier rebuilds its baked
+  quantization — predicts queue behind that reload and ``/healthz``
+  reports 503 for its duration so load balancers drain. 501 for frozen
+  exported artifacts. Reloading is DISABLED unless the server was given
+  a ``reload_token`` (requests must carry it as ``{"token": ...}``) or
+  is bound to loopback — it swaps arbitrary filesystem paths into the
+  model and must not be reachable from the open network.
 
 Requests are served one at a time (a lock serializes device access —
 the predictor already chunks/pads each request to its compiled batch
@@ -62,10 +69,12 @@ class PredictionServer:
     BUCKETS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0)
 
     def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000,
-                 max_body_mb: int = 256):
+                 max_body_mb: int = 256,
+                 reload_token: Optional[str] = None):
         self.predictor = predictor
         self.host, self.port = host, port
         self.max_body = max_body_mb * 1024 * 1024
+        self.reload_token = reload_token
         self._lock = threading.Lock()     # serialize device access
         self._ready = False
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -74,6 +83,7 @@ class PredictionServer:
         self._errors = 0                  # 4xx/5xx /predict responses
         self._images = 0                  # images classified
         self._reloads = 0                 # successful /reload calls
+        self._reload_errors = 0           # failed /reload responses
         self._lat_sum = 0.0               # seconds in predictor.predict
         self._lat_buckets = [0] * (len(self.BUCKETS) + 1)
 
@@ -124,15 +134,40 @@ class PredictionServer:
         with self._stats_lock:
             self._errors += 1
 
+    def _count_reload_error(self) -> None:
+        with self._stats_lock:
+            self._reload_errors += 1
+
+    def _reload_allowed(self, payload: dict) -> bool:
+        if self.reload_token is not None:
+            return payload.get("token") == self.reload_token
+        # no token configured: only loopback binds may reload — the route
+        # swaps arbitrary filesystem paths into the model
+        return self.host in ("127.0.0.1", "::1", "localhost")
+
     def _reload(self, payload: dict) -> dict:
         reload_fn = getattr(self.predictor, "reload", None)
         if reload_fn is None:
             raise NotImplementedError(
                 "this predictor is a frozen artifact (no reload); restart "
                 "the endpoint with the new --exported directory")
+        if not self._reload_allowed(payload):
+            raise PermissionError(
+                "reload requires the configured reload token (or a "
+                "loopback bind when no token is set)")
         ckpt = payload.get("checkpoint")
-        with self._lock:  # in-flight requests finish on the old weights
-            path = reload_fn(ckpt)
+        # the int8 tier rebuilds (a recompile at the next predict): flip
+        # readiness so orchestrators drain this replica for the duration;
+        # the fp32/bf16 swap is sub-second and stays ready
+        slow = getattr(self.predictor, "quantize", None) == "int8"
+        if slow:
+            self._ready = False
+        try:
+            with self._lock:  # in-flight requests finish on old weights
+                path = reload_fn(ckpt)
+        finally:
+            if slow:
+                self.warmup()  # recompile now, then flip ready back
         with self._stats_lock:
             self._reloads += 1
         return {"status": "reloaded", "checkpoint": path}
@@ -149,6 +184,8 @@ class PredictionServer:
                 f"nfp_predict_images_total {self._images}",
                 "# TYPE nfp_reloads_total counter",
                 f"nfp_reloads_total {self._reloads}",
+                "# TYPE nfp_reload_errors_total counter",
+                f"nfp_reload_errors_total {self._reload_errors}",
                 "# TYPE nfp_predict_latency_seconds histogram",
             ]
             acc = 0
@@ -219,26 +256,34 @@ class PredictionServer:
                 if self.path not in ("/predict", "/reload"):
                     self._send(404, {"error": f"no route {self.path}"})
                     return
+                reload_route = self.path == "/reload"
+                count = (server._count_reload_error if reload_route
+                         else server._count_error)
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     if n > server.max_body:
+                        count()
                         self._send(413, {"error": "body too large"})
                         return
                     payload = json.loads(self.rfile.read(n) or b"{}")
-                    if self.path == "/reload":
+                    if reload_route:
                         self._send(200, server._reload(payload))
                     else:
                         self._send(200, server._predict(payload))
                 except NotImplementedError as e:
+                    count()
                     self._send(501, {"error": str(e)})
+                except PermissionError as e:
+                    count()
+                    self._send(403, {"error": str(e)})
                 except FileNotFoundError as e:
-                    server._count_error()
+                    count()
                     self._send(400, {"error": f"checkpoint not found: {e}"})
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
-                    server._count_error()
+                    count()
                     self._send(400, {"error": str(e)})
                 except Exception as e:  # device/runtime failure
-                    server._count_error()
+                    count()
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         return Handler
@@ -294,6 +339,11 @@ def main(argv=None) -> None:
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--reload_token", default=None,
+                    help="enable POST /reload on non-loopback binds: "
+                         "requests must carry this token as "
+                         '{"token": ...}. Without it, reload only works '
+                         "when --host is loopback")
     args = ap.parse_args(argv)
 
     if args.exported:
@@ -319,7 +369,8 @@ def main(argv=None) -> None:
             n = predictor.calibrate(list(np.asarray(samples, np.float32)))
             print(f"calibrated {n} layers")
 
-    server = PredictionServer(predictor, host=args.host, port=args.port)
+    server = PredictionServer(predictor, host=args.host, port=args.port,
+                              reload_token=args.reload_token)
     print(f"serving on {args.host}:{args.port} "
           f"(batch={predictor.batch_size})")
     server.start(block=True)

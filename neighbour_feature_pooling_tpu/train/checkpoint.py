@@ -206,10 +206,24 @@ def restore_for_inference(path: str):
 
         ckptr = ocp.PyTreeCheckpointer()
         meta = ckptr.metadata(orbax_path).item_metadata
+        mtree = meta.tree if hasattr(meta, "tree") else meta
+        # partial restore: only the serving subtrees are read — the
+        # opt_state (2× param bytes of Adam moments) never leaves disk
+        wanted = {k: mtree[k] for k in ("params", "batch_stats")}
         restore_args = jax.tree_util.tree_map(
-            lambda m: ocp.RestoreArgs(restore_type=np.ndarray),
-            meta.tree if hasattr(meta, "tree") else meta)
-        restored = ckptr.restore(orbax_path, restore_args=restore_args)
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), wanted)
+        import logging as pylogging
+
+        absl_logger = pylogging.getLogger("absl")
+        prev_level = absl_logger.level
+        absl_logger.setLevel(pylogging.ERROR)  # orbax warns per-call that
+        try:                                   # transforms will be redesigned
+            restored = ckptr.restore(
+                orbax_path,
+                item=jax.tree_util.tree_map(lambda m: 0, wanted),
+                restore_args=restore_args, transforms={})
+        finally:
+            absl_logger.setLevel(prev_level)
     else:
         import flax.serialization
 

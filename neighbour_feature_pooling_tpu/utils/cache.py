@@ -21,11 +21,19 @@ def _host_fingerprint() -> str:
     (or under a different LLVM feature table) loads with a 'machine type
     doesn't match' warning and can SIGILL/abort at execution (observed:
     metrics_from_confusion aborting inside a cached CPU executable). The
-    fingerprint keys the cache dir so entries never cross environments."""
+    fingerprint keys the cache dir so entries never cross environments.
+
+    Tradeoff accepted: TPU executables are NOT host-CPU-sensitive, so a
+    container rescheduled onto a host with different CPU flags also
+    orphans its cached remote TPU compiles (one-time 1–6 min recompiles).
+    The cache dir is global per-process — it cannot be split per backend
+    — and a wrong-host CPU entry aborts the process, so correctness wins.
+    """
     import hashlib
+    import platform
     import re
 
-    parts = []
+    parts = [platform.machine()]
     try:
         import jaxlib
 
@@ -34,12 +42,10 @@ def _host_fingerprint() -> str:
         pass
     try:
         with open("/proc/cpuinfo") as f:
-            m = re.search(r"flags\s*:\s*(.*)", f.read())
-        if m:
-            parts.append(m.group(1))
+            # x86 says "flags :", aarch64 says "Features :"
+            m = re.search(r"(?:flags|Features)\s*:\s*(.*)", f.read())
+        parts.append(m.group(1) if m else platform.processor())
     except OSError:
-        import platform
-
         parts.append(platform.processor())
     return hashlib.sha256(" ".join(parts).encode()).hexdigest()[:12]
 

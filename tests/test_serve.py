@@ -254,3 +254,74 @@ def test_predictor_reload_hot_swaps_weights(tmp_path):
     with pytest.raises(ValueError):
         Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
                   input_size=32, resize_size=36).reload()
+
+
+def test_predictor_reload_rejects_incompatible_checkpoint(tmp_path):
+    """A checkpoint from a different model/classes is rejected BEFORE any
+    state changes — the endpoint keeps serving the old weights instead of
+    poisoning every later predict with a shape error."""
+    import jax.numpy as jnp
+
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.train import create_train_state
+    from neighbour_feature_pooling_tpu.train.checkpoint import (
+        save_checkpoint)
+
+    dummy = {"image": jnp.zeros((1, 32, 32, 3), jnp.float32)}
+    save_checkpoint(str(tmp_path / "good"), create_train_state(
+        get_model("resnet18", "gap_only", 3), jax.random.PRNGKey(0),
+        dummy, 1e-3))
+    save_checkpoint(str(tmp_path / "wrong_classes"), create_train_state(
+        get_model("resnet18", "gap_only", 7), jax.random.PRNGKey(0),
+        dummy, 1e-3))
+    save_checkpoint(str(tmp_path / "wrong_model"), create_train_state(
+        get_model("mobilenetv3", "gap_only", 3), jax.random.PRNGKey(0),
+        dummy, 1e-3))
+
+    p = Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
+                  input_size=32, resize_size=36,
+                  checkpoint=str(tmp_path / "good"))
+    imgs = [np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+            for _ in range(2)]
+    before = p.predict(imgs)["probabilities"]
+    for bad in ("wrong_classes", "wrong_model"):
+        with pytest.raises(ValueError, match="incompatible"):
+            p.reload(str(tmp_path / bad))
+        assert p.checkpoint == str(tmp_path / "good")  # state untouched
+    np.testing.assert_array_equal(p.predict(imgs)["probabilities"], before)
+
+
+def test_predictor_reload_int8_rebuilds(tmp_path):
+    """int8-tier reload re-bakes prequantized weights and drops stale
+    calibration: post-reload predictions match a fresh int8 predictor
+    built on the new checkpoint."""
+    import jax.numpy as jnp
+
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.train import create_train_state
+    from neighbour_feature_pooling_tpu.train.checkpoint import (
+        save_checkpoint)
+
+    model = get_model("resnet18", "gap_only", 3)
+    dummy = {"image": jnp.zeros((1, 32, 32, 3), jnp.float32)}
+    for seed, name in ((0, "a"), (9, "b")):
+        save_checkpoint(str(tmp_path / name), create_train_state(
+            model, jax.random.PRNGKey(seed), dummy, 1e-3))
+
+    p = Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
+                  input_size=32, resize_size=36, quantize="int8",
+                  checkpoint=str(tmp_path / "a"))
+    imgs = [np.random.default_rng(1).random((32, 32, 3)).astype(np.float32)
+            for _ in range(4)]
+    p.calibrate(imgs)
+    out_a = p.predict(imgs)["probabilities"]
+
+    p.reload(str(tmp_path / "b"))
+    assert p._act_scales is None  # calibration was against the old weights
+    out_b = p.predict(imgs)["probabilities"]
+    assert not np.allclose(out_a, out_b)
+    fresh = Predictor("resnet18", "gap_only", num_classes=3, batch_size=4,
+                      input_size=32, resize_size=36, quantize="int8",
+                      checkpoint=str(tmp_path / "b"))
+    np.testing.assert_allclose(out_b, fresh.predict(imgs)["probabilities"],
+                               atol=1e-6)

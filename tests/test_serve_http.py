@@ -205,3 +205,84 @@ def _get_raw(srv, path):
     with urllib.request.urlopen(
             f"http://127.0.0.1:{srv.port}{path}") as r:
         return r.status, r.read().decode()
+
+
+class TestReloadAuth:
+    def _mk(self, tmp_path, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        from neighbour_feature_pooling_tpu.models import get_model
+        from neighbour_feature_pooling_tpu.serve import Predictor
+        from neighbour_feature_pooling_tpu.serve_http import PredictionServer
+        from neighbour_feature_pooling_tpu.train import create_train_state
+        from neighbour_feature_pooling_tpu.train.checkpoint import (
+            save_checkpoint)
+
+        model = get_model("resnet18", "gap_only", 3)
+        dummy = {"image": jnp.zeros((1, 24, 24, 3), jnp.float32)}
+        save_checkpoint(str(tmp_path / "ck"), create_train_state(
+            model, jax.random.PRNGKey(0), dummy, 1e-3))
+        pred = Predictor("resnet18", "gap_only", num_classes=3,
+                         batch_size=2, input_size=24, resize_size=24,
+                         checkpoint=str(tmp_path / "ck"))
+        srv = PredictionServer(pred, port=0, **kw)
+        # bind loopback regardless (tests can't take 0.0.0.0 semantics
+        # from self.host for the auth check, which is the point)
+        srv._httpd = None
+        return srv
+
+    def test_non_loopback_bind_requires_token(self, tmp_path):
+        """host='0.0.0.0' without a token: /reload is 403 and counted as
+        a reload error, not a predict error; with the token it works."""
+        srv = self._mk(tmp_path, host="0.0.0.0",
+                       reload_token="s3cret")
+        # actually serve on loopback for the test: keep the configured
+        # host attribute by binding the HTTPServer manually
+        from http.server import ThreadingHTTPServer
+        import threading
+
+        srv._httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                         srv._make_handler())
+        srv.port = srv._httpd.server_address[1]
+        srv.warmup()
+        t = threading.Thread(target=srv._httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            code, body = _post(srv, "/reload", {})
+            assert code == 403
+            code, body = _post(srv, "/reload", {"token": "wrong"})
+            assert code == 403
+            code, body = _post(srv, "/reload", {"token": "s3cret"})
+            assert code == 200
+            _, m = _get_raw(srv, "/metrics")
+            assert "nfp_reload_errors_total 2" in m
+            assert "nfp_predict_errors_total 0" in m
+            assert "nfp_reloads_total 1" in m
+        finally:
+            srv.stop()
+
+    def test_no_token_non_loopback_denied_loopback_allowed(self, tmp_path):
+        from http.server import ThreadingHTTPServer
+        import threading
+
+        srv = self._mk(tmp_path, host="0.0.0.0")  # no token configured
+        srv._httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                         srv._make_handler())
+        srv.port = srv._httpd.server_address[1]
+        srv.warmup()
+        threading.Thread(target=srv._httpd.serve_forever,
+                         daemon=True).start()
+        try:
+            code, _ = _post(srv, "/reload", {})
+            assert code == 403
+        finally:
+            srv.stop()
+
+        srv2 = self._mk(tmp_path, host="127.0.0.1")  # loopback bind
+        srv2.start(block=False)
+        try:
+            code, _ = _post(srv2, "/reload", {})
+            assert code == 200
+        finally:
+            srv2.stop()
