@@ -452,6 +452,18 @@ def main(argv: Optional[List[str]] = None) -> None:
     from .parallel import initialize_distributed
     from .utils import enable_compilation_cache
 
+    try:
+        # `kill -USR1 <pid>` dumps every thread's Python stack to stderr —
+        # the only stack visibility in this container (no gdb/py-spy) when
+        # a run wedges (e.g. the async-checkpoint relay deadlock found in
+        # the round-3 soak)
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (ImportError, AttributeError, ValueError):
+        pass  # non-posix or nested-interpreter environments
+
     # multi-host entry: no-op unless JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES
     # request a multi-process launch (one process per TPU host)
     initialize_distributed()

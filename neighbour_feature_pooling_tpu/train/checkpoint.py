@@ -6,16 +6,20 @@ Layout: ``{ckpt_dir}/best`` and ``{ckpt_dir}/last``, each holding the full
 train state (params, batch_stats, opt_state, step) plus a small metadata
 dict (epoch, val_acc, val_loss).
 
-Sharding-aware by design: the orbax path saves the LIVE ``jax.Array``
-leaves (no ``device_get`` gather), so a ZeRO/FSDP- or tensor-parallel-
-sharded state writes shard-by-shard — on a multi-host mesh each process
-contributes only its addressable shards (orbax coordinates the write; all
-processes must call :func:`save_checkpoint`, see
-:func:`needs_collective_save`). Restore goes straight back into the
-state's placement: the target tree carries each leaf's
-``jax.sharding.Sharding``, so a resumed FSDP run never materializes the
-full state on one host. The msgpack fallback remains for environments
-without orbax — single-host only (it must gather).
+Sharding-aware by design: on a multi-host mesh the orbax path saves the
+LIVE ``jax.Array`` leaves, so a ZeRO/FSDP- or tensor-parallel-sharded
+state writes shard-by-shard — each process contributes only its
+addressable shards (orbax coordinates the write; all processes must call
+:func:`save_checkpoint`, see :func:`needs_collective_save`).
+Fully-addressable (single-host) states are pulled to host on the
+caller's thread first — through the axon TPU relay, device reads from
+orbax's background thread deadlock once the main thread parks in
+``wait_until_finished`` (see the inline note in :func:`save_checkpoint`).
+Restore goes straight back into the state's placement: the target tree
+carries each leaf's ``jax.sharding.Sharding``, so a resumed FSDP run
+never materializes the full state on one host. The msgpack fallback
+remains for environments without orbax — single-host only (it must
+gather).
 """
 
 from __future__ import annotations
@@ -101,6 +105,19 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None,
     save/flush calls (the write is collective)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tree = _tree_state(state)
+    if not needs_collective_save(state):
+        # Fully-addressable (single-host) states: pull the shards to host
+        # HERE, on the caller's thread, before handing to orbax. Through
+        # the axon TPU relay, device reads issued from orbax's background
+        # thread deadlock when the main thread then parks in
+        # wait_until_finished (the relay's completions need the main
+        # thread inside JAX calls) — observed as an un-finalized
+        # .orbax-checkpoint-tmp and every thread in futex_wait at the end
+        # of fit. Host trees make the background write pure file IO.
+        # Multi-host states keep their LIVE arrays: each process hands
+        # orbax its addressable shards and the write stays collective
+        # (CPU/pod contexts, where background device reads are safe).
+        tree = jax.device_get(tree)
     # every sibling path is anchored to the abspath captured NOW: the
     # deferred-metadata flush may run after a chdir
     apath = os.path.abspath(path)
