@@ -38,6 +38,14 @@ the predictor already chunks/pads each request to its compiled batch
 size); the HTTP layer itself is threaded so health checks never queue
 behind inference.
 
+``batch_window_ms > 0`` (CLI ``--batch_window_ms``) turns on dynamic
+request batching: concurrent requests are coalesced for up to that
+window (or until the compiled batch size fills) and run as ONE device
+batch — N concurrent single-image clients cost one forward instead of N
+padded ones. Preprocessing still runs per-request in the HTTP threads
+(parallel); only the device pass is shared. Latency for a lone request
+grows by at most the window.
+
 Usage::
 
     python -m neighbour_feature_pooling_tpu.serve_http \
@@ -70,11 +78,16 @@ class PredictionServer:
 
     def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000,
                  max_body_mb: int = 256,
-                 reload_token: Optional[str] = None):
+                 reload_token: Optional[str] = None,
+                 batch_window_ms: float = 0.0):
         self.predictor = predictor
         self.host, self.port = host, port
         self.max_body = max_body_mb * 1024 * 1024
         self.reload_token = reload_token
+        self.batch_window = batch_window_ms / 1000.0
+        self._queue = None          # dynamic-batching request queue
+        self._batcher: Optional[threading.Thread] = None
+        self._stopping = False
         self._lock = threading.Lock()     # serialize device access
         self._ready = False
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -115,9 +128,24 @@ class PredictionServer:
         if x.ndim != 4:
             raise ValueError(f"images must be (N,H,W,C), got {x.shape}")
         t0 = time.perf_counter()
-        with self._lock:
-            out = self.predictor.predict(
-                list(x), preprocessed=bool(payload.get("preprocessed")))
+        if self._queue is not None:
+            # dynamic batching: preprocess here (HTTP threads run in
+            # parallel), share the device pass with concurrent requests
+            if not payload.get("preprocessed"):
+                x = np.asarray(self.predictor.preprocess(list(x)))
+            want = self._input_shape()
+            if tuple(x.shape[1:]) != want:
+                # reject before enqueue: a wrong-shape row would fail the
+                # whole coalesced batch, 500-ing innocent co-batched
+                # requests
+                raise ValueError(
+                    f"preprocessed images must be (N,)+{want}, "
+                    f"got {x.shape}")
+            out = self._predict_batched(x)
+        else:
+            with self._lock:
+                out = self.predictor.predict(
+                    list(x), preprocessed=bool(payload.get("preprocessed")))
         dt = time.perf_counter() - t0
         with self._stats_lock:
             self._requests += 1
@@ -137,6 +165,62 @@ class PredictionServer:
     def _count_reload_error(self) -> None:
         with self._stats_lock:
             self._reload_errors += 1
+
+    def _predict_batched(self, x: np.ndarray) -> dict:
+        """Enqueue preprocessed rows; the batcher thread coalesces
+        concurrent requests into one device pass and resolves the future
+        with this request's slice."""
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self._queue.put((x, fut))
+        return fut.result(timeout=120.0)
+
+    def _batch_loop(self) -> None:
+        import queue as queue_mod
+
+        bs = int(self.predictor.batch_size)
+        while not self._stopping:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue_mod.Empty:
+                continue
+            if first is None:  # stop sentinel
+                return
+            items = [first]
+            rows = first[0].shape[0]
+            deadline = time.monotonic() + self.batch_window
+            while rows < bs:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=left)
+                except queue_mod.Empty:
+                    break
+                if item is None:
+                    self._stopping = True
+                    break
+                items.append(item)
+                rows += item[0].shape[0]
+            try:
+                batch = np.concatenate([x for x, _ in items])
+                with self._lock:
+                    out = self.predictor.predict(list(batch),
+                                                 preprocessed=True)
+                ofs = 0
+                for x, fut in items:
+                    n = x.shape[0]
+                    if not fut.done():
+                        fut.set_result(
+                            {"probabilities":
+                             out["probabilities"][ofs:ofs + n],
+                             "label": out["label"][ofs:ofs + n]})
+                    ofs += n
+            except Exception as e:  # resolve every waiter, keep serving
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
 
     def _reload_allowed(self, payload: dict) -> bool:
         if self.reload_token is not None:
@@ -202,17 +286,19 @@ class PredictionServer:
                          f"{self._requests}")
         return "\n".join(lines) + "\n"
 
-    def warmup(self) -> None:
-        """Run one padded batch through the compiled forward so the first
-        real request never pays the compile; flips the readiness probe."""
+    def _input_shape(self) -> tuple:
         p = self.predictor
         size = getattr(p, "input_size", None)
         if size is None:                      # exported artifact
             size = int(p.meta["transform"]["input_size"])
-        ch = getattr(p, "num_input_channels", 3)
-        dummy = np.zeros((1, size, size, ch), np.float32)
+        return (size, size, getattr(p, "num_input_channels", 3))
+
+    def warmup(self) -> None:
+        """Run one padded batch through the compiled forward so the first
+        real request never pays the compile; flips the readiness probe."""
+        dummy = np.zeros((1,) + self._input_shape(), np.float32)
         with self._lock:
-            p.predict(list(dummy), preprocessed=True)
+            self.predictor.predict(list(dummy), preprocessed=True)
         self._ready = True
 
     # -- server lifecycle ---------------------------------------------------
@@ -295,6 +381,14 @@ class PredictionServer:
         self._httpd = ThreadingHTTPServer((self.host, self.port),
                                           self._make_handler())
         self.port = self._httpd.server_address[1]
+        if self.batch_window > 0 and self._batcher is None:
+            import queue as queue_mod
+
+            self._queue = queue_mod.Queue()
+            self._stopping = False
+            self._batcher = threading.Thread(target=self._batch_loop,
+                                             daemon=True)
+            self._batcher.start()
         self.warmup()
         if block:
             try:
@@ -308,6 +402,12 @@ class PredictionServer:
         return self.port
 
     def stop(self) -> None:
+        if self._batcher is not None:
+            self._stopping = True
+            self._queue.put(None)  # wake the batcher
+            self._batcher.join(timeout=5)
+            self._batcher = None
+            self._queue = None
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()
@@ -339,6 +439,11 @@ def main(argv=None) -> None:
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch_window_ms", type=float, default=0.0,
+                    help="dynamic request batching: coalesce concurrent "
+                         "requests for up to this window (or until the "
+                         "compiled batch fills) into one device pass; 0 "
+                         "disables")
     ap.add_argument("--reload_token", default=None,
                     help="enable POST /reload on non-loopback binds: "
                          "requests must carry this token as "
@@ -370,7 +475,8 @@ def main(argv=None) -> None:
             print(f"calibrated {n} layers")
 
     server = PredictionServer(predictor, host=args.host, port=args.port,
-                              reload_token=args.reload_token)
+                              reload_token=args.reload_token,
+                              batch_window_ms=args.batch_window_ms)
     print(f"serving on {args.host}:{args.port} "
           f"(batch={predictor.batch_size})")
     server.start(block=True)

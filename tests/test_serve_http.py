@@ -286,3 +286,86 @@ class TestReloadAuth:
             assert code == 200
         finally:
             srv2.stop()
+
+
+class TestDynamicBatching:
+    def test_concurrent_requests_coalesce(self):
+        """batch_window_ms>0: concurrent single-image requests share one
+        device pass; results match the unbatched server bit-for-bit and
+        the predictor's forward runs fewer times than the request count."""
+        import threading
+
+        from neighbour_feature_pooling_tpu.serve import Predictor
+        from neighbour_feature_pooling_tpu.serve_http import PredictionServer
+
+        pred = Predictor("resnet18", "gap_only", num_classes=4,
+                         batch_size=8, input_size=32, resize_size=36)
+        calls = []
+        orig_predict = pred.predict
+
+        def counting_predict(images, preprocessed=False):
+            calls.append(len(images))
+            return orig_predict(images, preprocessed=preprocessed)
+
+        pred.predict = counting_predict
+        srv = PredictionServer(pred, host="127.0.0.1", port=0,
+                               batch_window_ms=200.0)
+        srv.start(block=False)
+        try:
+            rng = np.random.default_rng(0)
+            imgs = [rng.random((32, 32, 3)).astype(np.float32)
+                    for _ in range(6)]
+            want = orig_predict(imgs)  # direct, unbatched reference
+            calls.clear()
+
+            results = [None] * 6
+            def hit(i):
+                _, body = _post(srv, "/predict",
+                                {"instances": [imgs[i].tolist()]})
+                results[i] = body
+            threads = [threading.Thread(target=hit, args=(i,))
+                       for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for i in range(6):
+                np.testing.assert_allclose(
+                    np.asarray(results[i]["probabilities"][0]),
+                    want["probabilities"][i], atol=1e-5)
+            # 6 concurrent requests used far fewer device passes than 6
+            assert 1 <= len(calls) <= 3, calls
+            _, m = _get_raw(srv, "/metrics")
+            assert "nfp_predict_requests_total 6" in m
+            assert "nfp_predict_images_total 6" in m
+        finally:
+            srv.stop()
+
+    def test_bad_shape_rejected_before_enqueue(self):
+        from neighbour_feature_pooling_tpu.serve import Predictor
+        from neighbour_feature_pooling_tpu.serve_http import PredictionServer
+
+        pred = Predictor("resnet18", "gap_only", num_classes=4,
+                         batch_size=4, input_size=32, resize_size=36)
+        srv = PredictionServer(pred, host="127.0.0.1", port=0,
+                               batch_window_ms=20.0)
+        srv.start(block=False)
+        try:
+            bad = np.zeros((1, 16, 16, 3), np.float32)
+            code, body = _post(srv, "/predict",
+                               {"npy_b64": _npy_b64(bad),
+                                "preprocessed": True})
+            assert code == 400 and "preprocessed images" in body["error"]
+            ok = np.zeros((1, 32, 32, 3), np.float32)
+            code, body = _post(srv, "/predict",
+                               {"npy_b64": _npy_b64(ok),
+                                "preprocessed": True})
+            assert code == 200
+        finally:
+            srv.stop()
+
+
+def _npy_b64(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return base64.b64encode(buf.getvalue()).decode()
