@@ -408,7 +408,19 @@ class Trainer:
             # device transfer of batch i+1 overlaps the device step of i
             put = map(self._put_batch, datamodule.train_batches(epoch))
             pending = []  # steps_per_dispatch>1: batches awaiting a scan
-            for batch in prefetch(put):
+            # host-input stall telemetry: step dispatch is async, so time
+            # blocked in next() ≈ the host pipeline failing to keep ahead
+            # of the device — the signal that training is input-bound
+            # (the round-2/3 decode-parallelism theme, now observable per
+            # epoch in metrics.jsonl instead of only via a profiler trace)
+            data_wait = 0.0
+            batches_iter = prefetch(put)
+            while True:
+                tw = time.perf_counter()
+                batch = next(batches_iter, None)
+                data_wait += time.perf_counter() - tw
+                if batch is None:
+                    break
                 if preempt["hit"] and cfg.preempt_mode == "step":
                     preempted = True
                     break
@@ -509,6 +521,15 @@ class Trainer:
                              metrics_from_confusion(cm).items()}
             train_metrics["loss"] = float(loss_sum) / max(nb, 1)
             train_metrics["time_s"] = time.perf_counter() - t0
+            train_metrics["data_wait_s"] = round(data_wait, 3)
+            if (data_wait > 0.5 * train_metrics["time_s"]
+                    and epoch > start_epoch):
+                # epoch 0 conflates compile with input wait — skip it
+                self.logger.info(
+                    f"input-bound: {data_wait:.1f}s of "
+                    f"{train_metrics['time_s']:.1f}s waiting on the host "
+                    f"pipeline; consider --num_workers, --device_augment "
+                    f"or --device_data")
             self._flush_step_buffer(step_buf)
 
             val_metrics = self.evaluate(datamodule.val_batches())

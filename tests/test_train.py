@@ -651,3 +651,26 @@ def test_async_checkpoint_save(tmp_path):
     wait_for_saves()
     _, meta = restore_checkpoint(path, state2)
     assert meta == {"epoch": 2}
+
+
+def test_data_wait_telemetry(tmp_path):
+    """Every train epoch record carries data_wait_s — the host-input
+    stall signal (time blocked in next() while step dispatch is async)."""
+    import json
+
+    dm = SyntheticDataModule(num_classes=4, num_samples=32, image_size=16,
+                             batch_size=16)
+    model = get_model("resnet18", "gap_only", 4)
+    trainer = Trainer(model, 4, TrainerConfig(
+        learning_rate=1e-3, max_epochs=2, log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpt"), tensorboard=False,
+        freeze_nfp=False))
+    try:
+        res = trainer.fit(dm)
+    finally:
+        trainer.close()
+    for h in res["history"]:
+        assert 0.0 <= h["train"]["data_wait_s"] <= h["train"]["time_s"]
+    recs = [json.loads(line) for line in
+            open(tmp_path / "logs" / "metrics.jsonl")]
+    assert all("data_wait_s" in r["train"] for r in recs if "train" in r)
