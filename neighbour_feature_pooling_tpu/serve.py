@@ -285,17 +285,16 @@ class Predictor:
         """Reject a checkpoint whose (params, batch_stats) tree or leaf
         shapes/dtypes differ from the serving model's."""
         def spec(tree):
+            # (shape, dtype-name) per leaf; dict equality then covers both
+            # tree structure and leaf specs in one comparison
             return jax.tree_util.tree_map(
-                lambda a: (tuple(np.shape(a)), np.asarray(a).dtype
-                           if not hasattr(a, "dtype") else a.dtype), tree)
+                lambda a: (tuple(np.shape(a)),
+                           str(getattr(a, "dtype", None)
+                               or np.asarray(a).dtype)), tree)
 
         want = {k: self._variables[k] for k in ("params", "batch_stats")}
         got = {k: new_vars[k] for k in ("params", "batch_stats")}
-        try:
-            same = spec(want) == spec(got)
-        except ValueError:  # tree structure mismatch inside tree_map
-            same = False
-        if not same:
+        if spec(want) != spec(got):
             raise ValueError(
                 f"checkpoint {path!r} is incompatible with this predictor "
                 f"({self.model_type}/{self.model_variant}/"

@@ -206,8 +206,9 @@ class PredictionServer:
             try:
                 batch = np.concatenate([x for x, _ in items])
                 with self._lock:
-                    out = self.predictor.predict(list(batch),
-                                                 preprocessed=True)
+                    # pass the stacked ndarray straight through — predict's
+                    # np.asarray on it is free, a list of rows re-stacks
+                    out = self.predictor.predict(batch, preprocessed=True)
                 ofs = 0
                 for x, fut in items:
                     n = x.shape[0]

@@ -132,8 +132,9 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None,
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        # live arrays: orbax writes per-shard (multi-host collective when
-        # shards are not fully addressable), no host gather
+        # single-host: host-numpy tree (pulled above), pure file IO from
+        # here; multi-host: live arrays, orbax writes per-shard
+        # collectively with no host gather
         ckptr.save(orbax_path, tree, force=True)
         _INFLIGHT[orbax_path] = (ckptr, msgpack_path, meta_path, metadata)
         if block:
