@@ -15,29 +15,10 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/nfp_tpu_xla")
 
 
 def _host_fingerprint() -> str:
-    """Hash of (jaxlib version, host CPU flags). XLA:CPU cache entries are
-    AOT machine code whose cache key does NOT cover the exact CPU feature
-    set — an entry compiled in a container scheduled on different hardware
-    (or under a different LLVM feature table) loads with a 'machine type
-    doesn't match' warning and can SIGILL/abort at execution (observed:
-    metrics_from_confusion aborting inside a cached CPU executable). The
-    fingerprint keys the cache dir so entries never cross environments.
-
-    Insufficient on its own under VM CPU templates (second occurrence,
-    2026-08-19): this Firecracker guest reports the masked model name
-    "Intel(R) Xeon(R) Processor @ 2.10GHz" and an identical flag set on
-    *different* physical hosts, so two containers collide on the same
-    fingerprint while LLVM's CPUID-based host detection (which the AOT
-    entry baked in) differs — the poisoned entry loads and aborts.
-    ``enable_compilation_cache`` therefore additionally salts CPU-backend
-    processes with the VM boot id.
-
-    Tradeoff accepted: TPU executables are NOT host-CPU-sensitive, so a
-    container rescheduled onto a host with different CPU flags also
-    orphans its cached remote TPU compiles (one-time 1–6 min recompiles).
-    The cache dir is global per-process — it cannot be split per backend
-    — and a wrong-host CPU entry aborts the process, so correctness wins.
-    """
+    """Hash of (jaxlib version, host CPU flags), keying the TPU cache dir
+    so entries never cross jaxlib versions or host environments (a
+    container rescheduled onto a different host orphans its cached remote
+    compiles — a one-time 1–6 min recompile, safe)."""
     import hashlib
     import platform
     import re
@@ -80,34 +61,32 @@ def _cpu_backend_selected() -> bool:
     return plats.split(",")[0].strip().lower() == "cpu"
 
 
-def _boot_salt() -> str:
-    """Per-VM-boot salt: stable across process restarts inside one
-    container (cache hits where they are safe), fresh for every new
-    container (where the physical CPU may silently differ)."""
-    try:
-        with open("/proc/sys/kernel/random/boot_id") as f:
-            return f.read().strip().replace("-", "")[:12]
-    except OSError:
-        return "noboot"
-
-
 def enable_compilation_cache(cache_dir: str | None = None) -> bool:
     """Best-effort enablement; returns True when active.
 
-    CPU-backend processes get a boot-salted subdirectory: XLA:CPU entries
-    are host-AOT machine code that crosses containers unsafely (see
-    ``_host_fingerprint``). TPU entries are device code — host-portable
-    and expensive to recompile through the relay — so TPU processes keep
-    the stable fingerprint dir and survive container reschedules.
+    CPU-backend processes get NO persistent cache. XLA:CPU entries are
+    AOT host machine code, and this jaxlib's loader compares the
+    compile-time feature list (which bakes in the pseudo-features
+    ``+prefer-no-scatter,+prefer-no-gather``) against the runtime host
+    probe (which never reports them) — so EVERY reload logs a
+    machine-mismatch error, and on a host whose real CPUID differs from
+    the writer's (masked identically in /proc/cpuinfo by the Firecracker
+    CPU template, so un-fingerprintable) the mismatched executable
+    SIGABRTs mid-run. Observed twice via ``metrics_from_confusion``
+    aborting in test_cli; two-process repro in a fresh dir shows the
+    mismatch on every load. A cache that may abort the process on hit is
+    worth less than the seconds it saves, and the dir cannot be split
+    per backend within one process. TPU entries are device code —
+    host-portable and 1–6 min each through the relay — so TPU processes
+    keep the persistent cache.
     """
     import jax
 
     try:
-        base = cache_dir or os.environ.get("NFP_TPU_CACHE_DIR", _DEFAULT_DIR)
-        leaf = _host_fingerprint()
         if _cpu_backend_selected():
-            leaf = f"{leaf}-cpu-{_boot_salt()}"
-        path = os.path.join(base, leaf)
+            return False
+        base = cache_dir or os.environ.get("NFP_TPU_CACHE_DIR", _DEFAULT_DIR)
+        path = os.path.join(base, _host_fingerprint())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
