@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="path to a timm state_dict (.pth/.npz) ported into "
                         "the backbone (reference: timm pretrained=True, "
                         "texture_pooling.py:19)")
+    p.add_argument("--import_ckpt", type=str, default=None,
+                   help="warm-start from a TRAINED reference checkpoint "
+                        "(Lightning .ckpt / torch state_dict): the full "
+                        "model — backbone + head + classifier — is "
+                        "converted via models.import_torch and fine-tuned "
+                        "from there (migration path; excludes --pretrained)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay fp32)")
     p.add_argument("--remat", action="store_true",
@@ -288,6 +294,9 @@ def run_experiment(seed: int, config: Dict,
         print(summarize(variables))
         _SUMMARY_PRINTED = True
 
+    if config.get("pretrained") and config.get("import_ckpt"):
+        raise SystemExit("--import_ckpt already contains a trained "
+                         "backbone; drop --pretrained")
     pretrained_backbone = None
     if config.get("pretrained"):
         from .models.backbones.timm_port import (load_torch_state_dict,
@@ -297,6 +306,17 @@ def run_experiment(seed: int, config: Dict,
         pretrained_backbone = port_backbone(config["model_type"], sd,
                                             in_chans=num_input_channels)
         print(f"loaded pretrained backbone from {config['pretrained']}")
+
+    init_variables = None
+    if config.get("import_ckpt"):
+        from .models.import_torch import import_reference_checkpoint
+
+        init_variables, report = import_reference_checkpoint(
+            config["import_ckpt"], config["model_type"],
+            config["model_variant"], in_chans=num_input_channels)
+        print(f"imported reference checkpoint {config['import_ckpt']} "
+              f"({report['backbone_keys']} backbone tensors, "
+              f"{len(report['consumed'])} head tensors)")
 
     trainer = Trainer(model, num_classes, TrainerConfig(
         learning_rate=config["learning_rate"],
@@ -312,7 +332,8 @@ def run_experiment(seed: int, config: Dict,
         freeze_nfp=True, unfreeze_epoch=5,  # demo.py:376-377
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
     ), mesh=mesh, pretrained_backbone=pretrained_backbone,
-        zero=config.get("zero", "none") or "none")
+        zero=config.get("zero", "none") or "none",
+        init_variables=init_variables)
     try:
         fit_result = trainer.fit(data_module,
                                  resume=bool(config.get("resume")))
@@ -383,6 +404,17 @@ def run_experiments_seed_parallel(seeds: List[int],
         pretrained_backbone = port_backbone(config["model_type"], sd,
                                             in_chans=num_input_channels)
 
+    init_variables = None
+    if config.get("import_ckpt"):
+        if config.get("pretrained"):
+            raise SystemExit("--import_ckpt already contains a trained "
+                             "backbone; drop --pretrained")
+        from .models.import_torch import import_reference_checkpoint
+
+        init_variables, _ = import_reference_checkpoint(
+            config["import_ckpt"], config["model_type"],
+            config["model_variant"], in_chans=num_input_channels)
+
     exp_dir = os.path.join(
         "logs", dataset,
         f"{config['model_type']}-{config['model_variant']}-seedpar")
@@ -399,7 +431,8 @@ def run_experiments_seed_parallel(seeds: List[int],
         scheduler=config.get("scheduler", "none"),
         freeze_nfp=True, unfreeze_epoch=5,
         log_dir=exp_dir, ckpt_dir=ckpt_dir,
-    ), mesh=mesh, pretrained_backbone=pretrained_backbone)
+    ), mesh=mesh, pretrained_backbone=pretrained_backbone,
+        init_variables=init_variables)
     runner.fit(datamodules)
     metrics = runner.test(datamodules)
     return [m["accuracy"] for m in metrics]
@@ -521,6 +554,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "label_smoothing": args.label_smoothing,
         "num_samples": args.num_samples,
         "pretrained": args.pretrained,
+        "import_ckpt": args.import_ckpt,
         "remat": args.remat,
         "stem_s2d": args.stem_s2d,
         "profile_steps": args.profile_steps,

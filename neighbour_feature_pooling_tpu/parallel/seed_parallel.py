@@ -82,7 +82,8 @@ class SeedParallelRunner:
     """
 
     def __init__(self, model, num_classes: int, seeds: Sequence[int],
-                 config, mesh=None, pretrained_backbone=None):
+                 config, mesh=None, pretrained_backbone=None,
+                 init_variables=None):
         if jax.process_count() > 1:
             raise NotImplementedError(
                 "seed-parallel mode is single-process; use the serial loop "
@@ -96,6 +97,7 @@ class SeedParallelRunner:
         self.config = config
         self.mesh = mesh
         self.pretrained_backbone = pretrained_backbone
+        self.init_variables = init_variables
         self._io_leader = is_io_leader()
         os.makedirs(config.log_dir, exist_ok=True)
         self._metrics_path = os.path.join(config.log_dir, "metrics.jsonl")
@@ -194,7 +196,8 @@ class SeedParallelRunner:
                 self.model, rng, {"image": image1},
                 cfg.learning_rate, scheduler=cfg.scheduler,
                 total_steps=total_steps,
-                pretrained_backbone=self.pretrained_backbone)
+                pretrained_backbone=self.pretrained_backbone,
+                init_variables=self.init_variables)
 
         keys = jnp.stack([jax.random.PRNGKey(s) for s in self.seeds])
         fn = jax.vmap(init_one)

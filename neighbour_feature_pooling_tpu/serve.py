@@ -41,6 +41,10 @@ class Predictor:
     model_variant: str
     num_classes: int
     checkpoint: Optional[str] = None      # path prefix from save_checkpoint
+    import_ckpt: Optional[str] = None     # OR: a trained PyTorch reference
+    #                                       checkpoint (Lightning .ckpt /
+    #                                       state_dict), converted via
+    #                                       models.import_torch
     batch_size: int = 32
     input_size: int = 224
     resize_size: int = 256
@@ -64,10 +68,23 @@ class Predictor:
                                **(self.model_kwargs or {}))
         self.transform = self.transform or TransformConfig(
             resize_size=self.resize_size, input_size=self.input_size)
+        if self.checkpoint and self.import_ckpt:
+            raise ValueError("pass either checkpoint or import_ckpt, "
+                             "not both")
         if self.checkpoint:
             # structure-free restore: works for checkpoints trained under
             # any optimizer/scheduler configuration
             params, batch_stats = restore_for_inference(self.checkpoint)
+        elif self.import_ckpt:
+            # serve a reference-trained model directly (migration path):
+            # torch .ckpt/.pt -> flax variables, no retraining
+            from .models.import_torch import import_reference_checkpoint
+
+            variables, _ = import_reference_checkpoint(
+                self.import_ckpt, self.model_type, self.model_variant,
+                in_chans=self.num_input_channels)
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
         else:
             dummy = jnp.zeros((1, self.input_size, self.input_size,
                                self.num_input_channels), jnp.float32)

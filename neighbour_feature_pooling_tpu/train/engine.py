@@ -98,6 +98,37 @@ def freeze_mask(params, substrings: Tuple[str, ...] = ("nfp_head", "se_gate")):
     return flax.traverse_util.unflatten_dict(mask)
 
 
+def _replace_variables(variables: Dict[str, Any],
+                       loaded: Dict[str, Any]) -> Dict[str, Any]:
+    """Replace the WHOLE params/batch_stats trees with loaded ones (a full
+    imported reference checkpoint, ``models/import_torch.py``), validating
+    structure + shapes against the init tree and casting each leaf to the
+    init leaf's dtype (so a bf16-configured model keeps its param dtypes)."""
+    out = dict(variables)
+    for col in ("params", "batch_stats"):
+        sub = loaded.get(col)
+        if sub is None:
+            continue
+        want = flax.traverse_util.flatten_dict(variables.get(col, {}))
+        got = flax.traverse_util.flatten_dict(sub)
+        if set(want) != set(got):
+            missing = sorted(set(want) - set(got))[:5]
+            extra = sorted(set(got) - set(want))[:5]
+            raise ValueError(
+                f"imported {col} tree mismatch: missing={missing} "
+                f"extra={extra}")
+        for k in want:
+            if tuple(want[k].shape) != tuple(got[k].shape):
+                raise ValueError(
+                    f"imported {col} shape mismatch at {'/'.join(k)}: "
+                    f"init {want[k].shape} vs loaded {got[k].shape}")
+        out[col] = jax.tree_util.tree_map(
+            lambda w, g: jnp.asarray(g, dtype=w.dtype),
+            variables.get(col, {}),
+            flax.traverse_util.unflatten_dict(got))
+    return out
+
+
 def _merge_backbone(variables: Dict[str, Any],
                     pretrained: Dict[str, Any]) -> Dict[str, Any]:
     """Replace the ``backbone`` subtree of freshly-initialized variables with
@@ -134,7 +165,9 @@ def create_train_state(model, rng: jax.Array, sample_batch: Dict[str, jax.Array]
                        learning_rate: float, scheduler: str = "none",
                        total_steps: int = 0,
                        pretrained_backbone: Optional[Dict[str, Any]] = None,
-                       grad_accum: int = 1) -> TrainState:
+                       grad_accum: int = 1,
+                       init_variables: Optional[Dict[str, Any]] = None
+                       ) -> TrainState:
     """Initialize params/batch_stats and an Adam optimizer.
 
     ``scheduler``: ``none`` (reference default, Lightning_Wrapper.py:69-79),
@@ -154,9 +187,20 @@ def create_train_state(model, rng: jax.Array, sample_batch: Dict[str, jax.Array]
     (``{"params": ..., "batch_stats": ...}`` backbone subtree) replacing the
     random backbone init — the reference's ``pretrained=True``
     (``/root/reference/models/texture_pooling.py:19``).
+
+    ``init_variables``: optional FULL variable tree (backbone + head +
+    classifier) replacing the random init wholesale — the warm-start path
+    for imported reference checkpoints (``models/import_torch.py``); the
+    optimizer still starts fresh. Mutually exclusive with
+    ``pretrained_backbone``.
     """
     variables = model.init({"params": rng}, sample_batch["image"][:1],
                            train=False)
+    if init_variables is not None:
+        if pretrained_backbone is not None:
+            raise ValueError("pass either pretrained_backbone or "
+                             "init_variables, not both")
+        variables = _replace_variables(variables, init_variables)
     if pretrained_backbone is not None:
         variables = _merge_backbone(variables, pretrained_backbone)
     if scheduler == "cosine":

@@ -106,7 +106,8 @@ class Trainer:
     """Fit/validate/test driver for a ``TextureModel``."""
 
     def __init__(self, model, num_classes: int, config: TrainerConfig,
-                 mesh=None, pretrained_backbone=None, zero: str = "none"):
+                 mesh=None, pretrained_backbone=None, zero: str = "none",
+                 init_variables=None):
         self.model = model
         self.num_classes = num_classes
         self.config = config
@@ -121,6 +122,9 @@ class Trainer:
             zero = "none"
         self.zero = zero
         self.pretrained_backbone = pretrained_backbone
+        # full variable tree replacing the random init (imported reference
+        # checkpoints, models/import_torch.py); optimizer starts fresh
+        self.init_variables = init_variables
         self._train_step = make_train_step(num_classes,
                                            config.label_smoothing)
         self._k = max(1, int(config.steps_per_dispatch))
@@ -279,7 +283,8 @@ class Trainer:
                                    # of which accumulation makes 1/ga
                                    total_steps=-(-total_steps // ga),
                                    pretrained_backbone=self.pretrained_backbone,
-                                   grad_accum=ga)
+                                   grad_accum=ga,
+                                   init_variables=self.init_variables)
         self.state = self._replicate_state(state)
         return self.state
 

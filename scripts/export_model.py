@@ -27,8 +27,13 @@ sys.path.insert(0, REPO)
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--checkpoint", required=True,
+    ap.add_argument("--checkpoint", default=None,
                     help="checkpoint path prefix (…/best or …/last)")
+    ap.add_argument("--import_ckpt", default=None,
+                    help="OR: a trained PyTorch reference checkpoint "
+                         "(Lightning .ckpt / torch state_dict) converted "
+                         "via models.import_torch — export a reference-"
+                         "trained model straight to a TPU serving artifact")
     ap.add_argument("--out", required=True, help="artifact directory")
     ap.add_argument("--model_type", default="resnet18")
     ap.add_argument("--model_variant", default="texture_nfp")
@@ -50,6 +55,8 @@ def main(argv=None) -> None:
                          "static activation calibration (preprocessed "
                          "through the eval transform here)")
     args = ap.parse_args(argv)
+    if bool(args.checkpoint) == bool(args.import_ckpt):
+        ap.error("pass exactly one of --checkpoint / --import_ckpt")
 
     import jax.numpy as jnp
     import numpy as np
@@ -61,7 +68,8 @@ def main(argv=None) -> None:
     dtype = jnp.bfloat16 if (args.bf16 or mixed) else jnp.float32
     pred = Predictor(
         args.model_type, args.model_variant, args.num_classes,
-        checkpoint=args.checkpoint, batch_size=args.batch_size,
+        checkpoint=args.checkpoint, import_ckpt=args.import_ckpt,
+        batch_size=args.batch_size,
         input_size=args.input_size, resize_size=args.resize_size,
         num_input_channels=args.num_input_channels,
         model_kwargs=dict(measure=args.similarity,
