@@ -46,7 +46,7 @@ import numpy as np
 from .backbones.timm_port import port_backbone
 
 __all__ = ["load_reference_state_dict", "import_reference_checkpoint",
-           "SUPPORTED_VARIANTS"]
+           "prune_unused_backbone", "SUPPORTED_VARIANTS"]
 
 Array = np.ndarray
 
@@ -67,6 +67,34 @@ _DROP_SUBSTRINGS = (
 _METRIC_PREFIXES = ("train_", "val_", "test_", "metrics.")
 
 
+def _torch_load_checkpoint(torch, path):
+    """``torch.load`` with weights-only safety plus a numpy/argparse
+    allowlist.
+
+    Lightning checkpoints from the reference trainer (``demo.py:384-391``)
+    store ``hyper_parameters`` beside ``state_dict``; those payloads hold
+    numpy arrays/scalars and ``argparse.Namespace`` objects that the strict
+    ``weights_only=True`` unpickler rejects. Allowlisting just those keeps
+    the load weights-only-safe. ``NFP_TPU_UNSAFE_LOAD=1`` falls back to a
+    full pickle load for a file the user explicitly trusts.
+    """
+    import argparse
+    import pickle
+
+    try:
+        allow = [np.ndarray, np.dtype, np.generic, argparse.Namespace]
+        core = getattr(np, "_core", None) or np.core
+        allow += [core.multiarray._reconstruct, core.multiarray.scalar]
+        allow += [t for t in np.dtypes.__dict__.values()
+                  if isinstance(t, type)]
+        with torch.serialization.safe_globals(allow):
+            return torch.load(path, map_location="cpu", weights_only=True)
+    except pickle.UnpicklingError:
+        if os.environ.get("NFP_TPU_UNSAFE_LOAD") == "1":
+            return torch.load(path, map_location="cpu", weights_only=False)
+        raise
+
+
 def load_reference_state_dict(path_or_sd) -> Dict[str, Array]:
     """Load and normalize a reference checkpoint to ``{bare_key: ndarray}``.
 
@@ -85,8 +113,12 @@ def load_reference_state_dict(path_or_sd) -> Dict[str, Array]:
 
             # Lightning .ckpt files carry non-tensor bookkeeping (epoch,
             # optimizer_states, hyper_parameters...) beside 'state_dict' —
-            # extract the weights BEFORE any tensor conversion
-            obj = torch.load(path, map_location="cpu", weights_only=True)
+            # extract the weights BEFORE any tensor conversion. Stay on the
+            # weights_only unpickler but allowlist the benign globals a
+            # Lightning hparams payload actually contains (numpy arrays/
+            # scalars, argparse.Namespace); NFP_TPU_UNSAFE_LOAD=1 opts a
+            # trusted file into the full pickle path as a last resort.
+            obj = _torch_load_checkpoint(torch, path)
             if hasattr(obj, "state_dict"):
                 obj = obj.state_dict()
             if isinstance(obj, Mapping) and isinstance(
@@ -171,6 +203,35 @@ def _tree_paths(tree, prefix=()):
             yield prefix + (k,), v
 
 
+def prune_unused_backbone(variables: Dict[str, Any],
+                          target: Dict[str, Any]
+                          ) -> Tuple[Dict[str, Any], list]:
+    """Drop imported BACKBONE leaves the target model's init tree does not
+    have. The reference checkpoint carries every tensor of the timm module,
+    but a texture variant may never run parts of it — e.g. MobileNetV3's
+    ``conv_head`` exists in the state dict while feature-mode variants stop
+    at the 960-ch map (``texture_pooling.py:147``), so Flax never creates
+    those params. Extras OUTSIDE the backbone still mean a wrong variant
+    and are never pruned. Returns ``(pruned_variables, dropped_paths)``.
+    """
+    out: Dict[str, Any] = {}
+    dropped = []
+    for col, sub in variables.items():
+        want = {p for p, _ in _tree_paths(target.get(col, {}))}
+        flat = {}
+        for p, leaf in _tree_paths(sub):
+            if p not in want and p[:1] == ("backbone",):
+                dropped.append(f"{col}/" + "/".join(p))
+            else:
+                flat[p] = leaf
+        if flat:
+            node: Dict[str, Any] = {}
+            for p, leaf in flat.items():
+                _set(node, p, leaf)
+            out[col] = node
+    return out, sorted(dropped)
+
+
 def import_reference_checkpoint(
         path_or_sd, model_type: str, model_variant: str,
         *, in_chans: int = 3, validate_against=None,
@@ -219,7 +280,8 @@ def import_reference_checkpoint(
         in_chans=in_chans)
 
     params: Dict[str, Any] = {"backbone": backbone["params"]}
-    stats: Dict[str, Any] = {"backbone": backbone["batch_stats"]}
+    # ViT has no BN: its porter output carries no batch_stats collection
+    stats: Dict[str, Any] = {"backbone": backbone.get("batch_stats") or {}}
     consumed: set = set()
     _head_map(model_variant, sd, params, stats, consumed)
 
@@ -237,12 +299,15 @@ def import_reference_checkpoint(
             f"unrecognized reference keys (wrong --model_variant?): "
             f"{sorted(unconsumed)[:8]}")
 
-    variables = {"params": params, "batch_stats": stats}
+    variables = {"params": params}
+    if any(True for _ in _tree_paths(stats)):
+        variables["batch_stats"] = stats
+    pruned: list = []
     if validate_against is not None:
-        got = {p: v.shape for p, v in _tree_paths(variables["params"])}
-        got_bs = {p: v.shape for p, v in
-                  _tree_paths(variables.get("batch_stats", {}))}
-        for coll, have in (("params", got), ("batch_stats", got_bs)):
+        variables, pruned = prune_unused_backbone(variables, validate_against)
+        for coll in ("params", "batch_stats"):
+            have = {p: np.shape(v)
+                    for p, v in _tree_paths(variables.get(coll, {}))}
             for p, leaf in _tree_paths(validate_against.get(coll, {})):
                 if p not in have:
                     raise KeyError(f"import produced no leaf for "
@@ -253,10 +318,10 @@ def import_reference_checkpoint(
                         f"checkpoint {have[p]} vs model {np.shape(leaf)}")
             extra = set(have) - {p for p, _ in
                                  _tree_paths(validate_against.get(coll, {}))}
-            if extra:
+            if extra:  # non-backbone extras survive pruning: wrong variant
                 raise KeyError(
                     f"import produced leaves the model does not have "
                     f"({coll}): {sorted('/'.join(p) for p in extra)[:8]}")
     report = {"consumed": sorted(consumed), "dropped": sorted(dropped),
-              "backbone_keys": len(backbone_sd)}
+              "pruned": pruned, "backbone_keys": len(backbone_sd)}
     return variables, report

@@ -77,12 +77,18 @@ class Predictor:
             params, batch_stats = restore_for_inference(self.checkpoint)
         elif self.import_ckpt:
             # serve a reference-trained model directly (migration path):
-            # torch .ckpt/.pt -> flax variables, no retraining
+            # torch .ckpt/.pt -> flax variables, no retraining. Validated
+            # (and pruned of forward-unused backbone tensors, e.g. MNv3
+            # conv_head) against this model's own init tree
             from .models.import_torch import import_reference_checkpoint
 
+            dummy = jnp.zeros((1, self.input_size, self.input_size,
+                               self.num_input_channels), jnp.float32)
+            init = self.model.init({"params": jax.random.PRNGKey(0)},
+                                   dummy, train=False)
             variables, _ = import_reference_checkpoint(
                 self.import_ckpt, self.model_type, self.model_variant,
-                in_chans=self.num_input_channels)
+                in_chans=self.num_input_channels, validate_against=init)
             params = variables["params"]
             batch_stats = variables.get("batch_stats", {})
         else:

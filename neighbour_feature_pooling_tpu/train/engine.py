@@ -104,10 +104,16 @@ def _replace_variables(variables: Dict[str, Any],
     imported reference checkpoint, ``models/import_torch.py``), validating
     structure + shapes against the init tree and casting each leaf to the
     init leaf's dtype (so a bf16-configured model keeps its param dtypes)."""
+    from ..models.import_torch import prune_unused_backbone
+
+    loaded, _ = prune_unused_backbone(loaded, variables)
     out = dict(variables)
     for col in ("params", "batch_stats"):
         sub = loaded.get(col)
         if sub is None:
+            if flax.traverse_util.flatten_dict(variables.get(col, {})):
+                raise ValueError(f"imported checkpoint has no {col} "
+                                 f"collection but the model needs one")
             continue
         want = flax.traverse_util.flatten_dict(variables.get(col, {}))
         got = flax.traverse_util.flatten_dict(sub)

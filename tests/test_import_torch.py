@@ -35,46 +35,65 @@ if reference_available():
     add_reference_to_path()
 
 
-def _ref_params(num_classes, input_size):
+#: timm feature dims (demo.py:269-290 num_ftrs registry)
+_NUM_FTRS = {"resnet18": 512, "mobilenetv3": 960, "vittiny": 192}
+
+
+def _ref_params(num_classes, input_size, backbone="resnet18"):
     """Minimal reference Params dict (demo.py:519-543 shape)."""
     return {
-        "num_ftrs": {"resnet18": 512},
-        "Model_name": "resnet18",
+        "num_ftrs": {backbone: _NUM_FTRS[backbone]},
+        "Model_name": backbone,
         "Dataset": "UCMerced",
         "num_classes": {"UCMerced": num_classes},
         "input_size": input_size,
     }
 
 
+def _torch_backbone(backbone):
+    if backbone == "resnet18":
+        from tests.test_timm_port import _torch_resnet18_features
+
+        return _torch_resnet18_features()
+    if backbone == "mobilenetv3":
+        from tests.test_timm_port import _torch_mobilenetv3_features
+
+        return _torch_mobilenetv3_features()
+    from tests.test_timm_port import _torch_vit_tiny
+
+    return _torch_vit_tiny()
+
+
 class _RefComposite(nn.Module):
     """Reference active-class structure with a timm-named backbone."""
 
-    def __init__(self, variant, num_classes, input_size):
+    def __init__(self, variant, num_classes, input_size,
+                 backbone="resnet18"):
         super().__init__()
-        from tests.test_timm_port import _torch_resnet18_features
-
-        self.backbone = _torch_resnet18_features()
+        self.backbone = _torch_backbone(backbone)
+        self._backbone_type = backbone
         self._variant = variant
+        dim = _NUM_FTRS[backbone]
         if variant == "texture_nfp":
             from models.NFP_Pooling import nfp_pooling
 
             self.pool = nfp_pooling(
-                Params=_ref_params(num_classes, input_size))
+                Params=_ref_params(num_classes, input_size, backbone))
         elif variant == "texture_fractal":
             from models.Fractal_Pooling import fractal_pooling
 
             self.pool = fractal_pooling(
-                Params=_ref_params(num_classes, input_size))
+                Params=_ref_params(num_classes, input_size, backbone))
         elif variant == "texture_lacunarity":
             from models.Lacunarity_Pooling import lacunarity_pooling
 
             self.pool = lacunarity_pooling(
-                Params=_ref_params(num_classes, input_size))
+                Params=_ref_params(num_classes, input_size, backbone))
         elif variant == "texture_deepten":
             from models.deepten import DeepTENEncoding
 
-            self.encoding = DeepTENEncoding(in_channels=512, num_codes=32)
-            self.bn = nn.BatchNorm1d(32 * 512)
+            self.encoding = DeepTENEncoding(in_channels=dim, num_codes=32)
+            self.bn = nn.BatchNorm1d(32 * dim)
         elif variant == "texture_radam":
             # the reference RADAMPooling module imports torchvision
             # (unavailable); reproduce its exact forward with the reference
@@ -105,11 +124,17 @@ class _RefComposite(nn.Module):
                     return torch.stack(rows)
 
             self.pool = _RefRADAM()
-        out_dim = 512 * 32 if variant == "texture_deepten" else 512
+        out_dim = dim * 32 if variant == "texture_deepten" else dim
         self.fc = nn.Linear(out_dim, num_classes)
 
     def forward(self, x):
         x = self.backbone(x)
+        if self._backbone_type == "vittiny":
+            # reference CLS-strip token->map (texture_pooling.py:123-131)
+            patch = x[:, 1:]
+            b, n, c = patch.shape
+            h = int(n ** 0.5)
+            x = patch.transpose(1, 2).reshape(b, c, h, h)
         if self._variant == "gap_only":
             x = nn.functional.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
         elif self._variant == "texture_deepten":
@@ -149,40 +174,42 @@ def _lightning_ckpt(net):
 
 
 CASES = [
-    ("gap_only", 64, 2e-4),
-    ("texture_nfp", 64, 2e-4),
-    ("texture_fractal", 224, 5e-4),   # 224: GDCB needs a >=6x6 map
-    ("texture_lacunarity", 64, 2e-4),
-    ("texture_deepten", 64, 2e-4),
-    ("texture_radam", 224, 5e-4),     # ref RADAM is built for 7x7 maps
+    ("resnet18", "gap_only", 64, 2e-4),
+    ("resnet18", "texture_nfp", 64, 2e-4),
+    ("resnet18", "texture_fractal", 224, 5e-4),  # 224: GDCB needs >=6x6 map
+    ("resnet18", "texture_lacunarity", 64, 2e-4),
+    ("resnet18", "texture_deepten", 64, 2e-4),
+    ("resnet18", "texture_radam", 224, 5e-4),  # ref RADAM built for 7x7 maps
+    # the other backbone families ride the same head map over their own
+    # timm porters — one NFP composite each pins the end-to-end chain
+    ("mobilenetv3", "texture_nfp", 64, 5e-4),
+    ("vittiny", "texture_nfp", 224, 5e-4),     # torch oracle is 224-only
 ]
 
 
-@pytest.mark.parametrize("variant,input_size,tol",
-                         CASES, ids=[c[0] for c in CASES])
-def test_import_full_model_parity(variant, input_size, tol):
+@pytest.mark.parametrize("backbone,variant,input_size,tol",
+                         CASES, ids=[f"{c[0]}-{c[1]}" for c in CASES])
+def test_import_full_model_parity(backbone, variant, input_size, tol):
     torch.manual_seed(0)
     net = _RefComposite(variant, num_classes=5,
-                        input_size=input_size // 32).eval()
+                        input_size=input_size // 32,
+                        backbone=backbone).eval()
     _randomize(net, seed=7)
     sd = _lightning_ckpt(net)
 
-    model = get_model("resnet18", variant, 5)
+    model = get_model(backbone, variant, 5)
     rng = np.random.default_rng(3)
     x = rng.random((2, input_size, input_size, 3), np.float32)
     init = model.init({"params": jax.random.PRNGKey(0)},
                       jnp.asarray(x[:1]), train=False)
     variables, report = import_reference_checkpoint(
-        sd, "resnet18", variant, validate_against=init)
+        sd, backbone, variant, validate_against=init)
     assert report["backbone_keys"] > 100
 
     with torch.no_grad():
         golden = net(torch.from_numpy(
             np.transpose(x, (0, 3, 1, 2)))).numpy()
-    ours = np.asarray(model.apply(
-        {"params": variables["params"],
-         "batch_stats": variables["batch_stats"]},
-        jnp.asarray(x), train=False))
+    ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(ours, golden, atol=tol, rtol=tol)
 
 
@@ -210,6 +237,8 @@ def _save_lightning_ckpt(net, path):
     """A full Lightning .ckpt container: weights under 'state_dict' with
     the 'model.' prefix, non-tensor bookkeeping beside them
     (demo.py:381-392 saves via ModelCheckpoint)."""
+    import argparse
+
     torch.save({
         "state_dict": {f"model.{k}": v for k, v in net.state_dict().items()},
         "epoch": 3,
@@ -217,6 +246,14 @@ def _save_lightning_ckpt(net, path):
         "pytorch-lightning_version": "2.1.0",
         "optimizer_states": [],
         "lr_schedulers": [],
+        # hparams payloads hold numpy objects + Namespace — the strict
+        # weights_only unpickler rejects these without the loader's
+        # safe-globals allowlist (models/import_torch.py)
+        "hyper_parameters": {
+            "class_weights": np.ones(4, np.float32),
+            "lr": np.float64(1e-3),
+            "args": argparse.Namespace(model="resnet18", seed=42),
+        },
     }, path)
 
 
