@@ -270,6 +270,30 @@ def test_lightning_container_file(tmp_path):
         net.fc.bias.detach().numpy())
 
 
+def test_predictor_serves_imported_checkpoint_int8(tmp_path):
+    """Migration × quantization: a reference .ckpt served on the int8 tier.
+    int8 drift is a few % relative (PARITY.md) — the bar is top-1 agreement
+    with the fp32 import plus bounded probability drift."""
+    from neighbour_feature_pooling_tpu.serve import Predictor
+
+    torch.manual_seed(0)
+    net = _RefComposite("texture_nfp", 5, input_size=2).eval()
+    _randomize(net, 13)
+    path = str(tmp_path / "best.ckpt")
+    _save_lightning_ckpt(net, path)
+
+    kw = dict(batch_size=2, input_size=64, resize_size=64, import_ckpt=path)
+    fp32 = Predictor("resnet18", "texture_nfp", 5, **kw)
+    int8 = Predictor("resnet18", "texture_nfp", 5, quantize="int8", **kw)
+    rng = np.random.default_rng(9)
+    imgs = rng.random((2, 64, 64, 3), np.float32)
+    a = fp32.predict(list(imgs), preprocessed=True)
+    b = int8.predict(list(imgs), preprocessed=True)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["probabilities"], b["probabilities"],
+                               atol=0.05)
+
+
 def test_predictor_serves_imported_checkpoint(tmp_path):
     """The migration fast path: reference .ckpt -> TPU serving endpoint,
     no retraining. Probabilities must match the torch model's softmax."""
