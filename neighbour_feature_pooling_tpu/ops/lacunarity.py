@@ -65,15 +65,24 @@ def base_lacunarity(
     dtype = jnp.promote_types(x.dtype, jnp.float32)
     xf = x.astype(dtype)
 
-    # Normalize to [0, 255] (Lacunarity_Pooling.py:45).
-    xn = (jnp.tanh(xf) + 1.0) / 2.0 * 255.0
+    # Normalize to [0, 255] (Lacunarity_Pooling.py:45). (tanh(x)+1)/2 is
+    # computed as the algebraically identical sigmoid(2x): at negative
+    # saturation tanh(x)+1 cancels catastrophically in float32 (the
+    # reference's form loses ~5 digits there), sigmoid does not.
+    xn = jax.nn.sigmoid(2.0 * xf) * 255.0
 
-    # n = number of points of the *last two* spatial dims of the input
-    # (Lacunarity_Pooling.py:47 uses x.shape[-2:] of the NCHW tensor, i.e. H·W).
-    n_pts = 1
-    for a in spatial_axes:
-        n_pts *= x.shape[a]
-    n_pts = float(n_pts)
+    # n = np.prod(x.shape[-2:]) of the reference's channels-FIRST tensor
+    # (Lacunarity_Pooling.py:47) — replicated exactly, including its
+    # cross-dim quirks: for dim=2 that is H·W, but for dim=1 it counts the
+    # channel axis too (C·L) and for dim=3 it drops the depth axis (H·W).
+    # Normally invisible (n cancels up to the eps term) — it only shows at
+    # tanh saturation, where E[x] ≈ 0 and lac ≈ n²·E[x²]/eps.
+    if x.ndim == 3:        # (B, L, C)  ~ reference (B, C, L)
+        n_pts = float(x.shape[1] * x.shape[2])
+    elif x.ndim == 5:      # (B, D, H, W, C) ~ reference (B, C, D, H, W)
+        n_pts = float(x.shape[2] * x.shape[3])
+    else:                  # (B, H, W, C)
+        n_pts = float(x.shape[1] * x.shape[2])
 
     if kernel is None:
         ex = jnp.mean(xn, axis=spatial_axes)        # (B, C)
