@@ -23,6 +23,7 @@ from .data import DATASET_NUM_CLASSES, get_datamodule
 from .models import MODEL_VARIANTS, canonical_model_type, get_model
 from .ops.measures import MEASURE_NAMES
 from .train import Trainer, TrainerConfig
+from .train.checkpoint import checkpoint_exists
 
 __all__ = ["build_parser", "run_experiment",
            "run_experiments_seed_parallel", "main"]
@@ -178,6 +179,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="restore each seed's `last` checkpoint before "
                         "training (continues an interrupted/preempted run "
                         "exactly; no-op when no checkpoint exists)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training: restore a checkpoint per seed and "
+                        "run the test protocol (metrics, confusion-matrix "
+                        "PNG, metrics.jsonl). Weights come from "
+                        "--eval_restore, or from --import_ckpt / "
+                        "--pretrained when given with --eval_restore none")
+    p.add_argument("--eval_restore", choices=["best", "last", "none"],
+                   default="best",
+                   help="which checkpoint --eval_only restores from this "
+                        "run's checkpoint dir; `none` evaluates the "
+                        "constructed weights (e.g. an imported reference "
+                        "checkpoint) as-is")
     p.add_argument("--export_dir", default=None,
                    help="after training, freeze the best seed's best "
                         "checkpoint into a jax.export serving artifact "
@@ -335,6 +348,25 @@ def run_experiment(seed: int, config: Dict,
         zero=config.get("zero", "none") or "none",
         init_variables=init_variables)
     try:
+        if config.get("eval_only"):
+            restore = config.get("eval_restore", "best")
+            if restore != "none" and not checkpoint_exists(
+                    os.path.join(ckpt_dir, restore)):
+                if config.get("import_ckpt") or config.get("pretrained"):
+                    raise SystemExit(
+                        f"--eval_only: no `{restore}` checkpoint under "
+                        f"{ckpt_dir}; to evaluate the imported/pretrained "
+                        f"weights as-is pass --eval_restore none")
+                raise SystemExit(
+                    f"--eval_only: no `{restore}` checkpoint under "
+                    f"{ckpt_dir} (train first, or point --import_ckpt at "
+                    f"a reference checkpoint with --eval_restore none)")
+            metrics = trainer.test(
+                data_module,
+                restore=None if restore == "none" else restore,
+                label_names=getattr(data_module, "class_names",
+                                    None) or None)
+            return metrics["accuracy"]
         fit_result = trainer.fit(data_module,
                                  resume=bool(config.get("resume")))
         if fit_result.get("preempted"):
@@ -563,9 +595,19 @@ def main(argv: Optional[List[str]] = None) -> None:
         "device_augment": args.device_augment,
         "device_data": args.device_data,
         "device_eval": args.device_eval,
+        "eval_only": args.eval_only,
+        "eval_restore": args.eval_restore,
     }
 
     seed_parallel = args.seed_parallel
+    if args.eval_only and seed_parallel:
+        print("--eval_only restores per-seed checkpoints from the serial "
+              "loop; falling back from --seed_parallel")
+        seed_parallel = False
+    if args.eval_only and args.export_dir:
+        raise SystemExit("--eval_only does not train; use "
+                         "scripts/export_model.py to export an existing "
+                         "checkpoint")
     if seed_parallel and args.zero != "none":
         print("--seed_parallel builds its own (seed, data) mesh; "
               "--zero is ignored with it — falling back to the serial "

@@ -159,6 +159,13 @@ def save_checkpoint(path: str, state, metadata: Optional[Dict] = None,
             json.dump(metadata, f)
 
 
+def checkpoint_exists(path: str) -> bool:
+    """True if ``path`` has a restorable checkpoint (orbax dir or msgpack)."""
+    apath = os.path.abspath(path)
+    return os.path.isdir(apath + ".orbax") or os.path.exists(
+        apath + ".msgpack")
+
+
 def _restore_target(tree):
     """Abstract restore target preserving each live leaf's sharding, so
     orbax loads shards directly onto their owning devices."""

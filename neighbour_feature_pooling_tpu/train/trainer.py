@@ -46,8 +46,9 @@ from ..data.prefetch import prefetch
 from ..parallel.dist import global_batch_from_local, is_io_leader, sync_barrier
 from ..parallel.mesh import replicated_sharding
 from ..utils.tensorboard import SummaryWriter
-from .checkpoint import (needs_collective_save, restore_checkpoint,
-                         save_checkpoint, wait_for_saves)
+from .checkpoint import (checkpoint_exists, needs_collective_save,
+                         restore_checkpoint, save_checkpoint,
+                         wait_for_saves)
 from .engine import (TrainState, create_train_state, make_eval_step,
                      make_multi_train_step, make_train_step)
 from .metrics import (init_confusion, metrics_from_confusion,
@@ -658,8 +659,7 @@ class Trainer:
             # final epoch's checkpoint while other processes reach test()
             sync_barrier("ckpt_restore")
             path = os.path.join(self.config.ckpt_dir, restore)
-            if (os.path.isdir(os.path.abspath(path) + ".orbax")
-                    or os.path.exists(path + ".msgpack")):
+            if checkpoint_exists(path):
                 self.state, meta = restore_checkpoint(path, self.state)
                 self.state = self._replicate_state(self.state)
                 self.logger.info(f"restored {restore} checkpoint: {meta}")

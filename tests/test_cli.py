@@ -311,3 +311,52 @@ def test_main_resume_flag(tmp_path, monkeypatch, capsys):
     exp = next(p for p in log.iterdir() if p.is_dir())
     text = (exp / "experiment.log").read_text()
     assert "resumed from last checkpoint at epoch 1" in text
+
+
+def test_main_eval_only(tmp_path, monkeypatch, capsys):
+    """--eval_only restores the trained `best` checkpoint and reproduces
+    the training run's test accuracy without touching the optimizer."""
+    import json
+    import re
+
+    from neighbour_feature_pooling_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    common = ["--dataset", "synthetic", "--model_type", "resnet18",
+              "--model_variant", "gap_only", "--input_size", "24",
+              "--batch_size", "16", "--seeds", "7",
+              "--learning_rate", "1e-3"]
+    main(common + ["--max_epochs", "1"])
+    out_train = capsys.readouterr().out
+    acc_train = float(re.search(r"Seed 7 Test Accuracy: ([0-9.]+)",
+                                out_train).group(1))
+
+    main(common + ["--eval_only"])
+    out_eval = capsys.readouterr().out
+    acc_eval = float(re.search(r"Seed 7 Test Accuracy: ([0-9.]+)",
+                               out_eval).group(1))
+    assert acc_eval == pytest.approx(acc_train, abs=1e-6)
+    # the test record lands in metrics.jsonl like a normal test phase
+    metrics = (tmp_path / "logs" / "synthetic" /
+               "resnet18-gap_only-seed7" / "metrics.jsonl")
+    records = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert sum(1 for r in records if "test" in r) >= 2
+
+
+def test_main_eval_only_requires_checkpoint(tmp_path, monkeypatch):
+    from neighbour_feature_pooling_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="no `best` checkpoint"):
+        main(["--dataset", "synthetic", "--model_type", "resnet18",
+              "--model_variant", "gap_only", "--input_size", "24",
+              "--batch_size", "16", "--seeds", "7", "--eval_only"])
+
+
+def test_main_eval_only_rejects_export(tmp_path, monkeypatch):
+    from neighbour_feature_pooling_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="does not train"):
+        main(["--dataset", "synthetic", "--eval_only",
+              "--export_dir", str(tmp_path / "art")])
