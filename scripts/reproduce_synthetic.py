@@ -1,0 +1,394 @@
+#!/usr/bin/env python
+"""Offline accuracy-parity experiment: torch reference stack vs TPU rebuild.
+
+The reference's published results (``/root/reference/README.md:68-76``)
+cannot be reproduced in this container — they need timm pretrained weights
+and the real datasets, both behind network egress
+(``scripts/reproduce_readme.py --download`` is the one-command path on a
+networked machine). What CAN be proven offline is the other half of
+accuracy parity: **given identical data and the identical training
+protocol, the torch reference stack and this framework reach the same
+accuracy**. This script does exactly that:
+
+* generates a deterministic synthetic *texture* dataset in which every
+  image has an identical (exactly uniform) marginal intensity histogram —
+  classes differ only in local spatial structure (oriented correlation of
+  a Gaussian random field), i.e. the discriminative signal is the one NFP
+  was designed for;
+* feeds BOTH frameworks bit-identical pixels: the shared
+  ``ArrayDataModule`` pipeline does the augmentation with per-record
+  seeded rngs, so at equal seeds the two sides see the same batches in
+  the same order;
+* trains the reference composition — hand-built standard ResNet18
+  (the timm backbone of ``texture_pooling.py:156``; timm is not installed
+  here) + the reference's OWN ``NFPPooling`` op imported read-only from
+  ``/root/reference`` + the ``nfp_pooling`` fusion head
+  (``NFP_Pooling.py:25-36``) — under the reference protocol: Adam,
+  CE(label_smoothing=0.05) (``Lightning_Wrapper.py:35``), best-val-acc
+  checkpoint selection (``demo.py:381-392``), macro accuracy
+  (torchmetrics default), seeds {42,123,999} mean±std
+  (``demo.py:545-554``);
+* trains this framework's ``resnet18 × {gap_only, texture_nfp}`` through
+  the real ``Trainer`` on the same data, and prints both tables.
+
+Usage::
+
+    python scripts/reproduce_synthetic.py                 # full (both stacks)
+    python scripts/reproduce_synthetic.py --frameworks jax
+    python scripts/reproduce_synthetic.py --quick         # tiny smoke config
+
+Appends one JSON record per (framework, variant, seed) plus a summary
+record to ``reproduce_synthetic.jsonl``.
+"""
+
+import argparse
+import copy
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from neighbour_feature_pooling_tpu.data.datamodules import (  # noqa: E402
+    ArrayDataModule, _Split)
+from neighbour_feature_pooling_tpu.data.transforms import (  # noqa: E402
+    TransformConfig)
+from neighbour_feature_pooling_tpu.train.metrics import (  # noqa: E402
+    metrics_from_confusion_np)
+
+VARIANTS = ("gap_only", "texture_nfp")
+
+
+# --------------------------------------------------------------------- data
+
+
+def _oriented_kernel(theta: float, length: float, size: int = 15):
+    """Anisotropic Gaussian: long axis ``length`` along ``theta``."""
+    r = np.arange(size) - size // 2
+    yy, xx = np.meshgrid(r, r, indexing="ij")
+    u = np.cos(theta) * xx + np.sin(theta) * yy
+    v = -np.sin(theta) * xx + np.cos(theta) * yy
+    k = np.exp(-0.5 * ((u / length) ** 2 + (v / 0.7) ** 2))
+    return k / k.sum()
+
+
+def _texture_image(rng, kernel, size: int) -> np.ndarray:
+    """One HWC float32 [0,1] texture sample with an EXACTLY uniform
+    marginal histogram (rank-normalized), so global pooling of raw
+    intensities carries zero class signal by construction."""
+    from scipy.signal import fftconvolve
+
+    pad = kernel.shape[0]
+    noise = rng.standard_normal((size + 2 * pad, size + 2 * pad))
+    field = fftconvolve(noise, kernel, mode="same")[pad:-pad, pad:-pad]
+    flat = field.ravel()
+    out = np.empty_like(flat)
+    out[np.argsort(flat, kind="stable")] = np.linspace(
+        0.0, 1.0, flat.size, dtype=np.float64)
+    img = out.reshape(size, size).astype(np.float32)
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
+class SyntheticTextureDataModule(ArrayDataModule):
+    """Matched-marginal oriented-texture classes; constant split across
+    run seeds (``split_seed`` fixed like the reference, DataModules.py:61)."""
+
+    def __init__(self, num_per_class: int = 96, image_size: int = 64,
+                 batch_size: int = 32, seed: int = 42,
+                 orientations: int = 4, lengths=(2.0, 5.0)):
+        self.orientations = orientations
+        self.lengths = tuple(lengths)
+        num_classes = orientations * len(self.lengths)
+        transform = TransformConfig(
+            resize_size=image_size, input_size=image_size,
+            mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+            scale_range=(0.8, 1.0))
+        super().__init__(num_classes, batch_size, transform=transform,
+                         seed=seed)
+        self.num_per_class = num_per_class
+        self.image_size = image_size
+
+    def setup(self, stage=None) -> None:
+        if self._splits:
+            return
+        rng = np.random.default_rng(self.split_seed)
+        kernels = [_oriented_kernel(np.pi * o / self.orientations, ln)
+                   for ln in self.lengths for o in range(self.orientations)]
+        tr_i, tr_l, va_i, va_l, te_i, te_l = [], [], [], [], [], []
+        n_tr = int(0.7 * self.num_per_class)
+        n_va = int(0.15 * self.num_per_class)
+        for label, kernel in enumerate(kernels):
+            imgs = [_texture_image(rng, kernel, self.image_size)
+                    for _ in range(self.num_per_class)]
+            tr_i += imgs[:n_tr]
+            va_i += imgs[n_tr:n_tr + n_va]
+            te_i += imgs[n_tr + n_va:]
+            tr_l += [label] * n_tr
+            va_l += [label] * n_va
+            te_l += [label] * (self.num_per_class - n_tr - n_va)
+        self._splits = {
+            "train": _Split(tr_i, np.asarray(tr_l, np.int64)),
+            "val": _Split(va_i, np.asarray(va_l, np.int64)),
+            "test": _Split(te_i, np.asarray(te_l, np.int64)),
+        }
+
+
+# -------------------------------------------------------------- torch stack
+
+
+def _build_torch_model(variant: str, num_classes: int):
+    """The reference composition with timm replaced by an equivalent
+    hand-built standard ResNet18 (same conv/BN/stride structure timm's
+    ``resnet18`` has; timm is not installed in this container). The NFP op
+    and fusion-head structure are the reference's own
+    (``models/pooling/nfp.py``, ``models/NFP_Pooling.py:25-36``,
+    ``models/texture_pooling.py:153-167``)."""
+    import torch
+    import torch.nn as nn
+
+    class BasicBlock(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(cout)
+            self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(cout)
+            self.down = None
+            if stride != 1 or cin != cout:
+                self.down = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.down is None else self.down(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + idt)
+
+    class ResNet18Features(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+                nn.ReLU(), nn.MaxPool2d(3, 2, 1))
+            layers, cin = [], 64
+            for cout, stride in ((64, 1), (128, 2), (256, 2), (512, 2)):
+                layers += [BasicBlock(cin, cout, stride),
+                           BasicBlock(cout, cout)]
+                cin = cout
+            self.layers = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.layers(self.stem(x))
+
+    class GapOnly(nn.Module):
+        """texture_pooling.py:12-35 (RESNET18_GAP_ONLY)."""
+
+        def __init__(self):
+            super().__init__()
+            self.backbone = ResNet18Features()
+            self.fc = nn.Linear(512, num_classes)
+
+        def forward(self, x):
+            f = self.backbone(x)
+            return self.fc(
+                torch.nn.functional.adaptive_avg_pool2d(f, 1).flatten(1))
+
+    class TextureNFP(nn.Module):
+        """texture_pooling.py:153-167 + NFP_Pooling.py:25-36, with the
+        reference's own NFPPooling op imported at runtime."""
+
+        def __init__(self):
+            super().__init__()
+            if "/root/reference" not in sys.path:
+                sys.path.insert(0, "/root/reference")
+            from models.pooling.nfp import NFPPooling
+
+            self.backbone = ResNet18Features()
+            self.nfp = NFPPooling(in_channels=512, R=1, measure="cosine",
+                                  padding=1)
+            self.nfp_proj = nn.Linear(8, 512)
+            self.fc = nn.Linear(512, num_classes)
+
+        def forward(self, x):
+            f = self.backbone(x)
+            x_avg = torch.nn.functional.adaptive_avg_pool2d(f, 1).flatten(1)
+            m = self.nfp(f)
+            v = torch.nn.functional.adaptive_avg_pool2d(m, 1).flatten(1)
+            return self.fc(x_avg * self.nfp_proj(v))
+
+    return TextureNFP() if variant == "texture_nfp" else GapOnly()
+
+
+def _torch_eval(model, batches, num_classes: int):
+    import torch
+
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    model.eval()
+    with torch.no_grad():
+        for batch in batches:
+            x = torch.from_numpy(
+                np.transpose(batch["image"], (0, 3, 1, 2))).contiguous()
+            preds = model(x).argmax(dim=1).numpy()
+            for t, p, w in zip(batch["label"], preds, batch["weight"]):
+                if w > 0:
+                    cm[int(t), int(p)] += 1
+    return metrics_from_confusion_np(cm)
+
+
+def train_torch(variant: str, seed: int, args) -> float:
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(seed)
+    dm = _make_dm(args, seed)
+    dm.setup()
+    model = _build_torch_model(variant, dm.num_classes)
+    opt = torch.optim.Adam(model.parameters(), lr=args.learning_rate)
+    crit = nn.CrossEntropyLoss(label_smoothing=0.05, reduction="none")
+    best_acc, best_state = -1.0, None
+    for epoch in range(args.max_epochs):
+        model.train()
+        for batch in dm.train_batches(epoch):
+            x = torch.from_numpy(
+                np.transpose(batch["image"], (0, 3, 1, 2))).contiguous()
+            y = torch.from_numpy(batch["label"]).long()
+            w = torch.from_numpy(batch["weight"])
+            opt.zero_grad()
+            losses = crit(model(x), y)
+            ((losses * w).sum() / w.sum().clamp(min=1.0)).backward()
+            opt.step()
+        acc = float(_torch_eval(model, dm.val_batches(),
+                                dm.num_classes)["accuracy"])
+        if acc > best_acc:  # best-val-acc selection, demo.py:381-392
+            best_acc = acc
+            best_state = copy.deepcopy(model.state_dict())
+    model.load_state_dict(best_state)
+    return float(_torch_eval(model, dm.test_batches(),
+                             dm.num_classes)["accuracy"])
+
+
+# ---------------------------------------------------------------- jax stack
+
+
+def train_jax(variant: str, seed: int, args, workdir: str) -> float:
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.train import Trainer, TrainerConfig
+    from neighbour_feature_pooling_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    dm = _make_dm(args, seed)
+    model = get_model("resnet18", variant, dm.num_classes)
+    run = os.path.join(workdir, f"{variant}-seed{seed}")
+    trainer = Trainer(model, dm.num_classes, TrainerConfig(
+        learning_rate=args.learning_rate, max_epochs=args.max_epochs,
+        patience=args.max_epochs + 1,  # fixed-epoch protocol (both stacks)
+        label_smoothing=0.05, seed=seed, tensorboard=False,
+        log_every_n_steps=0, log_dir=os.path.join(run, "logs"),
+        ckpt_dir=os.path.join(run, "ckpt")))
+    try:
+        trainer.fit(dm)
+        return float(trainer.test(dm, restore="best")["accuracy"])
+    finally:
+        trainer.close()
+
+
+# --------------------------------------------------------------------- main
+
+
+def _make_dm(args, seed: int) -> SyntheticTextureDataModule:
+    return SyntheticTextureDataModule(
+        num_per_class=args.num_per_class, image_size=args.image_size,
+        batch_size=args.batch_size, seed=seed,
+        orientations=args.orientations,
+        lengths=tuple(args.lengths))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--frameworks", default="torch,jax",
+                   help="comma list of torch,jax")
+    p.add_argument("--variants", default=",".join(VARIANTS))
+    p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
+    p.add_argument("--max_epochs", type=int, default=12)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--num_per_class", type=int, default=96)
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--orientations", type=int, default=4)
+    p.add_argument("--lengths", type=float, nargs="+", default=[2.0, 5.0])
+    p.add_argument("--workdir", default="logs/reproduce_synthetic")
+    p.add_argument("--out", default=os.path.join(
+        REPO, "reproduce_synthetic.jsonl"))
+    p.add_argument("--quick", action="store_true",
+                   help="tiny smoke config (2 classes, 8 img/class, 48px, "
+                        "1 epoch, seed 42)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run the jax side on the CPU backend (the axon "
+                        "sitecustomize ignores JAX_PLATFORMS; this flag is "
+                        "the supported override)")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.quick:
+        args.seeds = [42]
+        args.max_epochs = 1
+        args.num_per_class = 8
+        args.image_size = 48
+        args.orientations = 2
+        args.lengths = [2.0]
+        args.batch_size = 8
+
+    frameworks = [f.strip() for f in args.frameworks.split(",") if f.strip()]
+    variants = [v.strip() for v in args.variants.split(",") if v.strip()]
+    results = {}
+    records = []
+    for fw in frameworks:
+        for variant in variants:
+            accs = []
+            for seed in args.seeds:
+                t0 = time.perf_counter()
+                if fw == "torch":
+                    acc = train_torch(variant, seed, args)
+                elif fw == "jax":
+                    acc = train_jax(variant, seed, args, args.workdir)
+                else:
+                    raise SystemExit(f"unknown framework {fw!r}")
+                dt = time.perf_counter() - t0
+                print(f"{fw:5s} {variant:12s} seed {seed}: "
+                      f"test acc {acc:.4f}  ({dt:.0f}s)")
+                accs.append(acc)
+                records.append({"framework": fw, "variant": variant,
+                                "seed": seed, "test_acc": acc,
+                                "train_s": round(dt, 1)})
+            results[(fw, variant)] = accs
+
+    print("\n== mean ± std over seeds", args.seeds, "==")
+    summary = {"config": {k: v for k, v in vars(args).items()
+                          if k not in ("out", "workdir")}}
+    for (fw, variant), accs in results.items():
+        m, s = float(np.mean(accs)), float(np.std(accs))
+        print(f"{fw:5s} {variant:12s}: {m:.4f} ± {s:.4f}")
+        summary[f"{fw}_{variant}"] = {"mean": round(m, 4),
+                                      "std": round(s, 4)}
+    for variant in variants:
+        a, b = results.get(("torch", variant)), results.get(("jax", variant))
+        if a and b:
+            d = float(np.mean(b)) - float(np.mean(a))
+            print(f"jax - torch ({variant}): {d:+.4f}")
+            summary[f"delta_{variant}"] = round(d, 4)
+    with open(args.out, "a") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+        f.write(json.dumps(summary) + "\n")
+    print(f"appended {len(records) + 1} records to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

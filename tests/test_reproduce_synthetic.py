@@ -1,0 +1,93 @@
+"""Tests for scripts/reproduce_synthetic.py — the offline accuracy-parity
+experiment (torch reference stack vs this framework on identical synthetic
+texture data)."""
+
+import importlib.util
+import json
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def rs():
+    spec = importlib.util.spec_from_file_location(
+        "reproduce_synthetic",
+        os.path.join(REPO, "scripts", "reproduce_synthetic.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_texture_dataset_matched_marginals(rs):
+    """Every image has the EXACT same sorted pixel values (rank-normalized
+    to a uniform grid), so the class signal is purely local structure —
+    global intensity statistics are identical across classes by
+    construction."""
+    dm = rs.SyntheticTextureDataModule(num_per_class=4, image_size=32,
+                                       orientations=2, lengths=(2.0,))
+    dm.setup()
+    assert dm.num_classes == 2
+    imgs = dm._splits["train"].images
+    a, b = imgs[0], imgs[-1]
+    assert a.shape == (32, 32, 3) and a.dtype == np.float32
+    ref = np.linspace(0.0, 1.0, 32 * 32, dtype=np.float64).astype(np.float32)
+    np.testing.assert_array_equal(np.sort(a[:, :, 0].ravel()), ref)
+    np.testing.assert_array_equal(np.sort(b[:, :, 0].ravel()), ref)
+    # 3 replicated channels
+    np.testing.assert_array_equal(a[:, :, 0], a[:, :, 2])
+    # ...but different spatial arrangements
+    assert np.abs(a - b).max() > 0.1
+
+
+def test_texture_dataset_split_constant_across_seeds(rs):
+    """The run seed shuffles batches/augments but the split (and hence the
+    test set) is pinned by split_seed — the reference's protocol
+    (DataModules.py:61)."""
+    dm1 = rs.SyntheticTextureDataModule(num_per_class=4, image_size=32,
+                                        orientations=2, lengths=(2.0,),
+                                        seed=42)
+    dm2 = rs.SyntheticTextureDataModule(num_per_class=4, image_size=32,
+                                        orientations=2, lengths=(2.0,),
+                                        seed=999)
+    dm1.setup()
+    dm2.setup()
+    for s1, s2 in zip(dm1._splits["test"].images, dm2._splits["test"].images):
+        np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(dm1._splits["test"].labels,
+                                  dm2._splits["test"].labels)
+
+
+def test_identical_batch_streams_across_frameworks(rs):
+    """Both stacks consume the same datamodule class at the same seed, so
+    the pixels each framework trains on are bit-identical."""
+    mk = lambda: rs.SyntheticTextureDataModule(  # noqa: E731
+        num_per_class=6, image_size=32, batch_size=4, orientations=2,
+        lengths=(2.0,), seed=7)
+    dm1, dm2 = mk(), mk()
+    dm1.setup()
+    dm2.setup()
+    for b1, b2 in zip(dm1.train_batches(3), dm2.train_batches(3)):
+        np.testing.assert_array_equal(b1["image"], b2["image"])
+        np.testing.assert_array_equal(b1["label"], b2["label"])
+
+
+def test_quick_end_to_end_both_frameworks(rs, tmp_path, capsys):
+    """--quick trains both stacks for one epoch on the tiny config and
+    appends per-run + summary records."""
+    out = tmp_path / "repro.jsonl"
+    rs.main(["--quick", "--out", str(out),
+             "--workdir", str(tmp_path / "work")])
+    text = capsys.readouterr().out
+    assert "torch gap_only" in text and "jax" in text
+    records = [json.loads(l) for l in out.read_text().splitlines()]
+    runs = [r for r in records if "framework" in r]
+    assert {(r["framework"], r["variant"]) for r in runs} == {
+        ("torch", "gap_only"), ("torch", "texture_nfp"),
+        ("jax", "gap_only"), ("jax", "texture_nfp")}
+    assert all(0.0 <= r["test_acc"] <= 1.0 for r in runs)
+    summary = records[-1]
+    assert "delta_texture_nfp" in summary
