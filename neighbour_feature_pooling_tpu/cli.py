@@ -264,8 +264,9 @@ def run_experiment(seed: int, config: Dict,
                             f"{config['name']}_seed{seed}")
 
     data_module.prepare_data()
-    data_module.setup("fit")
-    if hasattr(data_module, "print_first_batch_shape"):
+    data_module.setup("test" if config.get("eval_only") else "fit")
+    if (hasattr(data_module, "print_first_batch_shape")
+            and not config.get("eval_only")):
         data_module.print_first_batch_shape()
     num_classes = getattr(data_module, "num_classes", None) or \
         config["num_classes"]
@@ -294,9 +295,11 @@ def run_experiment(seed: int, config: Dict,
 
         mesh = create_mesh(jax.devices()[:n_dev])
 
-    # one-time model summary (torchinfo.summary parity, demo.py:354-363)
+    # one-time model summary (torchinfo.summary parity, demo.py:354-363);
+    # skipped on --eval_only: its sample fetch + model.init is an extra
+    # remote compile on a path advertised as "skip training"
     global _SUMMARY_PRINTED
-    if not _SUMMARY_PRINTED:
+    if not _SUMMARY_PRINTED and not config.get("eval_only"):
         import jax
 
         from .utils import summarize
@@ -352,15 +355,15 @@ def run_experiment(seed: int, config: Dict,
             restore = config.get("eval_restore", "best")
             if restore != "none" and not checkpoint_exists(
                     os.path.join(ckpt_dir, restore)):
-                if config.get("import_ckpt") or config.get("pretrained"):
-                    raise SystemExit(
-                        f"--eval_only: no `{restore}` checkpoint under "
-                        f"{ckpt_dir}; to evaluate the imported/pretrained "
-                        f"weights as-is pass --eval_restore none")
                 raise SystemExit(
                     f"--eval_only: no `{restore}` checkpoint under "
                     f"{ckpt_dir} (train first, or point --import_ckpt at "
                     f"a reference checkpoint with --eval_restore none)")
+            if (restore == "none" and not config.get("import_ckpt")
+                    and not config.get("pretrained")):
+                print("--eval_only --eval_restore none without "
+                      "--import_ckpt/--pretrained: scoring FRESHLY "
+                      "INITIALIZED weights")
             metrics = trainer.test(
                 data_module,
                 restore=None if restore == "none" else restore,
@@ -608,6 +611,15 @@ def main(argv: Optional[List[str]] = None) -> None:
         raise SystemExit("--eval_only does not train; use "
                          "scripts/export_model.py to export an existing "
                          "checkpoint")
+    if (args.eval_only and args.eval_restore != "none"
+            and (args.import_ckpt or args.pretrained)):
+        # restoring a local checkpoint would silently overwrite the
+        # imported/pretrained weights the user asked to score
+        raise SystemExit(
+            f"--eval_only --eval_restore {args.eval_restore} would "
+            f"overwrite the --import_ckpt/--pretrained weights with the "
+            f"local `{args.eval_restore}` checkpoint; pass "
+            f"--eval_restore none to score the imported weights as-is")
     if seed_parallel and args.zero != "none":
         print("--seed_parallel builds its own (seed, data) mesh; "
               "--zero is ignored with it — falling back to the serial "

@@ -707,5 +707,13 @@ class Trainer:
         ax.set_title("Confusion Matrix")
         fig.colorbar(im)
         fig.tight_layout()
-        fig.savefig(os.path.join(out_dir, "confusion_matrix.png"))
+        # reference filename first (Lightning_Wrapper.py:187); re-running
+        # test() in the same exp dir (e.g. --eval_only after training)
+        # numbers subsequent PNGs instead of clobbering the first
+        path = os.path.join(out_dir, "confusion_matrix.png")
+        n = 1
+        while os.path.exists(path):
+            path = os.path.join(out_dir, f"confusion_matrix_{n}.png")
+            n += 1
+        fig.savefig(path)
         plt.close(fig)

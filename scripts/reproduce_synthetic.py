@@ -112,8 +112,21 @@ class SyntheticTextureDataModule(ArrayDataModule):
         self.num_per_class = num_per_class
         self.image_size = image_size
 
+    #: generation cache: the splits depend only on the size/shape args and
+    #: split_seed (NOT the run seed — proven by
+    #: test_texture_dataset_split_constant_across_seeds), so the 12 runs of
+    #: a default invocation share one generation pass. Images are read-only
+    #: downstream (augmentation copies), so sharing the arrays is safe.
+    _split_cache: dict = {}
+
     def setup(self, stage=None) -> None:
         if self._splits:
+            return
+        key = (self.num_per_class, self.image_size, self.orientations,
+               self.lengths, self.split_seed)
+        cached = self._split_cache.get(key)
+        if cached is not None:
+            self._splits = cached
             return
         rng = np.random.default_rng(self.split_seed)
         kernels = [_oriented_kernel(np.pi * o / self.orientations, ln)
@@ -135,6 +148,7 @@ class SyntheticTextureDataModule(ArrayDataModule):
             "val": _Split(va_i, np.asarray(va_l, np.int64)),
             "test": _Split(te_i, np.asarray(te_l, np.int64)),
         }
+        self._split_cache[key] = self._splits
 
 
 # -------------------------------------------------------------- torch stack
@@ -147,6 +161,9 @@ def _build_torch_model(variant: str, num_classes: int):
     and fusion-head structure are the reference's own
     (``models/pooling/nfp.py``, ``models/NFP_Pooling.py:25-36``,
     ``models/texture_pooling.py:153-167``)."""
+    if variant not in VARIANTS:
+        raise SystemExit(f"unknown variant {variant!r}; the torch side "
+                         f"implements {VARIANTS}")
     import torch
     import torch.nn as nn
 

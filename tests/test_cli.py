@@ -353,6 +353,30 @@ def test_main_eval_only_requires_checkpoint(tmp_path, monkeypatch):
               "--batch_size", "16", "--seeds", "7", "--eval_only"])
 
 
+def test_main_eval_only_import_requires_restore_none(tmp_path, monkeypatch):
+    """--import_ckpt with the default --eval_restore best would silently
+    overwrite the imported weights with a local checkpoint — rejected."""
+    from neighbour_feature_pooling_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="would overwrite"):
+        main(["--dataset", "synthetic", "--eval_only",
+              "--import_ckpt", str(tmp_path / "ref.ckpt")])
+
+
+def test_main_eval_only_restore_none_warns_fresh_weights(
+        tmp_path, monkeypatch, capsys):
+    from neighbour_feature_pooling_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["--dataset", "synthetic", "--model_type", "resnet18",
+          "--model_variant", "gap_only", "--input_size", "24",
+          "--batch_size", "16", "--seeds", "7",
+          "--eval_only", "--eval_restore", "none"])
+    out = capsys.readouterr().out
+    assert "FRESHLY INITIALIZED" in out
+
+
 def test_main_eval_only_rejects_export(tmp_path, monkeypatch):
     from neighbour_feature_pooling_tpu.cli import main
 

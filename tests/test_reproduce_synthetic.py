@@ -54,6 +54,9 @@ def test_texture_dataset_split_constant_across_seeds(rs):
                                         orientations=2, lengths=(2.0,),
                                         seed=999)
     dm1.setup()
+    # drop the generation cache so dm2 regenerates from scratch — this
+    # test proves DETERMINISM of the generator, not cache sharing
+    rs.SyntheticTextureDataModule._split_cache.clear()
     dm2.setup()
     for s1, s2 in zip(dm1._splits["test"].images, dm2._splits["test"].images):
         np.testing.assert_array_equal(s1, s2)
