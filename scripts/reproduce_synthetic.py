@@ -31,9 +31,15 @@ accuracy**. This script does exactly that:
 * trains this framework's ``resnet18 × {gap_only, texture_nfp}`` through
   the real ``Trainer`` on the same data, and prints both tables.
 
+Two backbone families are covered: ResNet18 × {gap_only, texture_nfp}
+(the README's flagship NFP row) and ViT-Tiny × {gap_only,
+texture_lacunarity} (the PlantVillage row's composition, with the
+reference's own ``lacunarity_pooling`` head imported).
+
 Usage::
 
     python scripts/reproduce_synthetic.py                 # full (both stacks)
+    python scripts/reproduce_synthetic.py --model_type vittiny
     python scripts/reproduce_synthetic.py --frameworks jax
     python scripts/reproduce_synthetic.py --quick         # tiny smoke config
 
@@ -60,7 +66,13 @@ from neighbour_feature_pooling_tpu.data.transforms import (  # noqa: E402
 from neighbour_feature_pooling_tpu.train.metrics import (  # noqa: E402
     metrics_from_confusion_np)
 
-VARIANTS = ("gap_only", "texture_nfp")
+#: variants the torch side implements per backbone: the flagship NFP row
+#: (ResNet18, README.md:72-73) and the lacunarity row's composition
+#: (ViT-Tiny, README.md:75)
+VARIANTS = {
+    "resnet18": ("gap_only", "texture_nfp"),
+    "vittiny": ("gap_only", "texture_lacunarity"),
+}
 
 
 # --------------------------------------------------------------------- data
@@ -154,16 +166,20 @@ class SyntheticTextureDataModule(ArrayDataModule):
 # -------------------------------------------------------------- torch stack
 
 
-def _build_torch_model(variant: str, num_classes: int):
-    """The reference composition with timm replaced by an equivalent
-    hand-built standard ResNet18 (same conv/BN/stride structure timm's
-    ``resnet18`` has; timm is not installed in this container). The NFP op
-    and fusion-head structure are the reference's own
-    (``models/pooling/nfp.py``, ``models/NFP_Pooling.py:25-36``,
-    ``models/texture_pooling.py:153-167``)."""
-    if variant not in VARIANTS:
+def _build_torch_model(model_type: str, variant: str, num_classes: int,
+                       image_size: int):
+    """The reference composition with timm replaced by equivalent
+    hand-built backbones (same structure timm's ``resnet18`` /
+    ``vit_tiny_patch16_224`` have; timm is not installed in this
+    container). The pooling ops and head structures are the reference's
+    own (``models/pooling/nfp.py``, ``models/NFP_Pooling.py:25-36``,
+    ``models/Lacunarity_Pooling.py:53-73``,
+    ``models/texture_pooling.py:40-65,153-167,427-448``)."""
+    if variant not in VARIANTS.get(model_type, ()):
         raise SystemExit(f"unknown variant {variant!r}; the torch side "
                          f"implements {VARIANTS}")
+    if model_type == "vittiny":
+        return _build_torch_vit(variant, num_classes, image_size)
     import torch
     import torch.nn as nn
 
@@ -241,6 +257,87 @@ def _build_torch_model(variant: str, num_classes: int):
     return TextureNFP() if variant == "texture_nfp" else GapOnly()
 
 
+def _build_torch_vit(variant: str, num_classes: int, image_size: int):
+    """ViT-Tiny (timm ``vit_tiny_patch16_224`` structure: 16×16 conv patch
+    embed, CLS + learned pos embed, 12 pre-LN blocks of MHA(3 heads)/
+    MLP(×4), final LN) + the reference's CLS-strip token→map reshape
+    (``texture_pooling.py:55-59``) and its own ``lacunarity_pooling`` head
+    imported from ``/root/reference``."""
+    import torch
+    import torch.nn as nn
+
+    dim, depth, heads = 192, 12, 3
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln1 = nn.LayerNorm(dim, eps=1e-6)
+            self.attn = nn.MultiheadAttention(dim, heads, batch_first=True)
+            self.ln2 = nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = nn.Sequential(nn.Linear(dim, 4 * dim), nn.GELU(),
+                                     nn.Linear(4 * dim, dim))
+
+        def forward(self, x):
+            h = self.ln1(x)
+            x = x + self.attn(h, h, h, need_weights=False)[0]
+            return x + self.mlp(self.ln2(x))
+
+    class ViTTinyFeatures(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.grid = image_size // 16
+            n = self.grid * self.grid
+            self.patch = nn.Conv2d(3, dim, 16, 16)
+            self.cls = nn.Parameter(torch.zeros(1, 1, dim))
+            self.pos = nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
+            self.blocks = nn.Sequential(*[Block() for _ in range(depth)])
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+        def forward(self, x):
+            x = self.patch(x).flatten(2).transpose(1, 2)
+            x = torch.cat([self.cls.expand(x.shape[0], -1, -1), x], dim=1)
+            return self.norm(self.blocks(x + self.pos))
+
+        def feature_map(self, x):
+            tokens = self.forward(x)[:, 1:]  # strip CLS
+            b, n, c = tokens.shape
+            return tokens.transpose(1, 2).reshape(b, c, self.grid, self.grid)
+
+    class ViTGapOnly(nn.Module):
+        """texture_pooling.py:40-65 (VITTINY_GAP_ONLY)."""
+
+        def __init__(self):
+            super().__init__()
+            self.backbone = ViTTinyFeatures()
+            self.fc = nn.Linear(dim, num_classes)
+
+        def forward(self, x):
+            fmap = self.backbone.feature_map(x)
+            return self.fc(
+                torch.nn.functional.adaptive_avg_pool2d(fmap, 1).flatten(1))
+
+    class ViTLacunarity(nn.Module):
+        """texture_pooling.py:427-448 (ViTTiny_LacunarityPooling) with the
+        reference's own lacunarity_pooling head."""
+
+        def __init__(self):
+            super().__init__()
+            if "/root/reference" not in sys.path:
+                sys.path.insert(0, "/root/reference")
+            from models.Lacunarity_Pooling import lacunarity_pooling
+
+            self.backbone = ViTTinyFeatures()
+            self.pool = lacunarity_pooling()
+            self.fc = nn.Linear(dim, num_classes)
+
+        def forward(self, x):
+            fmap = self.backbone.feature_map(x)
+            return self.fc(self.pool(fmap).view(x.shape[0], -1))
+
+    return ViTLacunarity() if variant == "texture_lacunarity" \
+        else ViTGapOnly()
+
+
 def _torch_eval(model, batches, num_classes: int):
     import torch
 
@@ -264,7 +361,8 @@ def train_torch(variant: str, seed: int, args) -> float:
     torch.manual_seed(seed)
     dm = _make_dm(args, seed)
     dm.setup()
-    model = _build_torch_model(variant, dm.num_classes)
+    model = _build_torch_model(args.model_type, variant, dm.num_classes,
+                               args.image_size)
     opt = torch.optim.Adam(model.parameters(), lr=args.learning_rate)
     crit = nn.CrossEntropyLoss(label_smoothing=0.05, reduction="none")
     best_acc, best_state = -1.0, None
@@ -299,7 +397,7 @@ def train_jax(variant: str, seed: int, args, workdir: str) -> float:
 
     enable_compilation_cache()
     dm = _make_dm(args, seed)
-    model = get_model("resnet18", variant, dm.num_classes)
+    model = get_model(args.model_type, variant, dm.num_classes)
     run = os.path.join(workdir, f"{variant}-seed{seed}")
     trainer = Trainer(model, dm.num_classes, TrainerConfig(
         learning_rate=args.learning_rate, max_epochs=args.max_epochs,
@@ -329,7 +427,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--frameworks", default="torch,jax",
                    help="comma list of torch,jax")
-    p.add_argument("--variants", default=",".join(VARIANTS))
+    p.add_argument("--model_type", default="resnet18",
+                   choices=sorted(VARIANTS))
+    p.add_argument("--variants", default=None,
+                   help="comma list; default = the torch-implemented pair "
+                        "for --model_type")
     p.add_argument("--seeds", type=int, nargs="+", default=[42, 123, 999])
     p.add_argument("--max_epochs", type=int, default=12)
     p.add_argument("--learning_rate", type=float, default=1e-3)
@@ -363,7 +465,10 @@ def main(argv=None):
         args.batch_size = 8
 
     frameworks = [f.strip() for f in args.frameworks.split(",") if f.strip()]
-    variants = [v.strip() for v in args.variants.split(",") if v.strip()]
+    variants = ([v.strip() for v in args.variants.split(",") if v.strip()]
+                if args.variants else list(VARIANTS[args.model_type]))
+    if args.model_type == "vittiny" and args.image_size % 16:
+        raise SystemExit("vittiny needs --image_size divisible by 16")
     results = {}
     records = []
     for fw in frameworks:
@@ -381,7 +486,9 @@ def main(argv=None):
                 print(f"{fw:5s} {variant:12s} seed {seed}: "
                       f"test acc {acc:.4f}  ({dt:.0f}s)")
                 accs.append(acc)
-                records.append({"framework": fw, "variant": variant,
+                records.append({"framework": fw,
+                                "model_type": args.model_type,
+                                "variant": variant,
                                 "seed": seed, "test_acc": acc,
                                 "train_s": round(dt, 1)})
             results[(fw, variant)] = accs

@@ -78,6 +78,26 @@ def test_identical_batch_streams_across_frameworks(rs):
         np.testing.assert_array_equal(b1["label"], b2["label"])
 
 
+def test_torch_vit_builder_shapes(rs):
+    """The hand-built torch ViT-Tiny (timm structure) + reference
+    lacunarity head produce (B, num_classes) logits at a 48px input."""
+    import torch
+
+    x = torch.randn(2, 3, 48, 48)
+    for variant in ("gap_only", "texture_lacunarity"):
+        model = rs._build_torch_model("vittiny", variant, 5, 48)
+        with torch.no_grad():
+            out = model(x)
+        assert out.shape == (2, 5)
+    # grid = 48/16 = 3 -> 9 patch tokens + CLS
+    assert model.backbone.pos.shape == (1, 10, 192)
+
+
+def test_torch_unknown_variant_rejected(rs):
+    with pytest.raises(SystemExit, match="unknown variant"):
+        rs._build_torch_model("resnet18", "texture_deepten", 5, 48)
+
+
 def test_quick_end_to_end_both_frameworks(rs, tmp_path, capsys):
     """--quick trains both stacks for one epoch on the tiny config and
     appends per-run + summary records."""
