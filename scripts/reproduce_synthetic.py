@@ -72,6 +72,7 @@ from neighbour_feature_pooling_tpu.train.metrics import (  # noqa: E402
 VARIANTS = {
     "resnet18": ("gap_only", "texture_nfp"),
     "vittiny": ("gap_only", "texture_lacunarity"),
+    "mobilenetv3": ("gap_only", "texture_radam"),
 }
 
 
@@ -180,6 +181,8 @@ def _build_torch_model(model_type: str, variant: str, num_classes: int,
                          f"implements {VARIANTS}")
     if model_type == "vittiny":
         return _build_torch_vit(variant, num_classes, image_size)
+    if model_type == "mobilenetv3":
+        return _build_torch_mnv3(variant, num_classes)
     import torch
     import torch.nn as nn
 
@@ -336,6 +339,160 @@ def _build_torch_vit(variant: str, num_classes: int, image_size: int):
 
     return ViTLacunarity() if variant == "texture_lacunarity" \
         else ViTGapOnly()
+
+
+#: mobilenetv3_large_100 block stages (paper Table 1 / timm arch_def) —
+#: (kernel, stride, exp_ch, out_ch, use_se, act); the same table the flax
+#: backbone is built from (backbones/mobilenetv3.py::_STAGES)
+_MNV3_STAGES = (
+    ((3, 1, 16, 16, False, "re"),),
+    ((3, 2, 64, 24, False, "re"), (3, 1, 72, 24, False, "re")),
+    ((5, 2, 72, 40, True, "re"), (5, 1, 120, 40, True, "re"),
+     (5, 1, 120, 40, True, "re")),
+    ((3, 2, 240, 80, False, "hs"), (3, 1, 200, 80, False, "hs"),
+     (3, 1, 184, 80, False, "hs"), (3, 1, 184, 80, False, "hs")),
+    ((3, 1, 480, 112, True, "hs"), (3, 1, 672, 112, True, "hs")),
+    ((5, 2, 672, 160, True, "hs"), (5, 1, 960, 160, True, "hs"),
+     (5, 1, 960, 160, True, "hs")),
+)
+
+
+def _stub_torchvision():
+    """The reference's ``radam_pooling.py`` imports torchvision (absent in
+    this container) only for ``T.Resize``; provide that one class backed by
+    ``F.interpolate`` (bilinear — identical to torchvision for the
+    UPSAMPLING this path does, antialias only differs on downscale)."""
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    if "torchvision" in sys.modules:
+        return
+
+    class Resize(nn.Module):
+        def __init__(self, size):
+            super().__init__()
+            self.size = (size, size) if isinstance(size, int) else size
+
+        def forward(self, x):
+            return torch.nn.functional.interpolate(
+                x, size=self.size, mode="bilinear", align_corners=False)
+
+    tv = types.ModuleType("torchvision")
+    tr = types.ModuleType("torchvision.transforms")
+    tr.Resize = Resize
+    tv.transforms = tr
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tr
+
+
+def _build_torch_mnv3(variant: str, num_classes: int):
+    """MobileNetV3-Large-100 (timm geometry: hardswish stem 16ch, the
+    paper-Table-1 inverted-residual stages above, final 1×1 ConvBnAct 960)
+    + the reference's own ``RADAMPooling`` head imported from
+    ``/root/reference`` (``texture_pooling.py:612-626`` wiring: spatial 7,
+    in 960, M=4, ``pool(x).squeeze(1)`` → fc; device 'cpu' instead of the
+    reference's hard-coded 'cuda')."""
+    import torch
+    import torch.nn as nn
+
+    def divisible(v, d=8):
+        nv = max(d, int(v + d / 2) // d * d)
+        return nv + d if nv < 0.9 * v else nv
+
+    def act(name):
+        return nn.ReLU() if name == "re" else nn.Hardswish()
+
+    class SqueezeExcite(nn.Module):
+        def __init__(self, ch, rd):
+            super().__init__()
+            self.reduce = nn.Conv2d(ch, rd, 1)
+            self.expand = nn.Conv2d(rd, ch, 1)
+            self.gate = nn.Hardsigmoid()
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            return x * self.gate(self.expand(torch.relu(self.reduce(s))))
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, cin, k, s, exp, cout, se, a):
+            super().__init__()
+            layers = []
+            if exp != cin:
+                layers += [nn.Conv2d(cin, exp, 1, bias=False),
+                           nn.BatchNorm2d(exp), act(a)]
+            layers += [nn.Conv2d(exp, exp, k, s, k // 2, groups=exp,
+                                 bias=False),
+                       nn.BatchNorm2d(exp), act(a)]
+            if se:
+                layers += [SqueezeExcite(exp, divisible(exp / 4))]
+            layers += [nn.Conv2d(exp, cout, 1, bias=False),
+                       nn.BatchNorm2d(cout)]
+            self.body = nn.Sequential(*layers)
+            self.residual = s == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.body(x)
+            return x + y if self.residual else y
+
+    class MNv3Features(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, 16, 3, 2, 1, bias=False), nn.BatchNorm2d(16),
+                nn.Hardswish())
+            blocks, cin = [], 16
+            for stage in _MNV3_STAGES:
+                for (k, s, exp, cout, se, a) in stage:
+                    blocks.append(InvertedResidual(cin, k, s, exp, cout,
+                                                   se, a))
+                    cin = cout
+            blocks += [nn.Conv2d(cin, 960, 1, bias=False),
+                       nn.BatchNorm2d(960), nn.Hardswish()]
+            self.blocks = nn.Sequential(*blocks)
+
+        def forward(self, x):
+            return self.blocks(self.stem(x))
+
+    class MNv3GapOnly(nn.Module):
+        """texture_pooling.py:70-92 (MOBILENETV3_GAP_ONLY)."""
+
+        def __init__(self):
+            super().__init__()
+            self.backbone = MNv3Features()
+            self.fc = nn.Linear(960, num_classes)
+
+        def forward(self, x):
+            f = self.backbone(x)
+            return self.fc(
+                torch.nn.functional.adaptive_avg_pool2d(f, 1).flatten(1))
+
+    class MNv3RADAM(nn.Module):
+        """texture_pooling.py:612-626 (MobileNetV3_RADAMPooling)."""
+
+        def __init__(self):
+            super().__init__()
+            _stub_torchvision()
+            if "/root/reference" not in sys.path:
+                sys.path.insert(0, "/root/reference")
+            cwd = os.getcwd()
+            os.chdir("/root/reference")  # RNN.py:95 loads the LCG pkl
+            try:                         # by a CWD-relative path
+                from models.radam_pooling import RADAMPooling
+
+                self.pool = RADAMPooling(spatial_size=7, in_channels=960,
+                                         M=4, device="cpu")
+            finally:
+                os.chdir(cwd)
+            self.backbone = MNv3Features()
+            self.fc = nn.Linear(960, num_classes)
+
+        def forward(self, x):
+            f = self.backbone(x)
+            return self.fc(self.pool(f).squeeze(1))
+
+    return MNv3RADAM() if variant == "texture_radam" else MNv3GapOnly()
 
 
 def _torch_eval(model, batches, num_classes: int):

@@ -93,6 +93,25 @@ def test_torch_vit_builder_shapes(rs):
     assert model.backbone.pos.shape == (1, 10, 192)
 
 
+def test_torch_mnv3_builder_shapes(rs):
+    """Hand-built MobileNetV3-Large (timm geometry) + the reference's own
+    RADAMPooling head (imported through the torchvision stub, LCG pkl
+    loaded from /root/reference) produce (B, num_classes) logits."""
+    import torch
+
+    x = torch.randn(2, 3, 64, 64)
+    for variant in ("gap_only", "texture_radam"):
+        model = rs._build_torch_model("mobilenetv3", variant, 5, 64)
+        with torch.no_grad():
+            out = model(x)
+        assert out.shape == (2, 5)
+    # timm mobilenetv3_large_100 feature extractor is 2.97M params
+    n = sum(p.numel() for p in model.backbone.parameters())
+    assert abs(n - 2_971_952) == 0
+    # the RADAM encoder matrices come from the reference's LCG pickle
+    assert model.pool.RAEs[0]._alpha.shape == (1, 960)
+
+
 def test_torch_unknown_variant_rejected(rs):
     with pytest.raises(SystemExit, match="unknown variant"):
         rs._build_torch_model("resnet18", "texture_deepten", 5, 48)
