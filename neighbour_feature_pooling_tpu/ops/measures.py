@@ -38,6 +38,8 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from .common import safe_sqrt
+
 __all__ = [
     "MeasureConfig",
     "Measure",
@@ -81,7 +83,7 @@ def _norm(c, n, axis, cfg):
     if p == 1:
         return jnp.sum(jnp.abs(d), axis=axis)
     if p == 2:
-        return jnp.sqrt(jnp.sum(d * d, axis=axis))
+        return safe_sqrt(jnp.sum(d * d, axis=axis))
     return jnp.sum(jnp.abs(d) ** p, axis=axis) ** (1.0 / p)
 
 
@@ -89,8 +91,8 @@ def _cosine(c, n, axis, cfg):
     """Cosine similarity with torch.nn.functional.cosine_similarity semantics
     (``nfp.py:150-159``): each L2 norm is clamped from below at ``eps``."""
     dot = jnp.sum(c * n, axis=axis)
-    nc = jnp.sqrt(jnp.sum(c * c, axis=axis))
-    nn_ = jnp.sqrt(jnp.sum(n * n, axis=axis))
+    nc = safe_sqrt(jnp.sum(c * c, axis=axis))
+    nn_ = safe_sqrt(jnp.sum(n * n, axis=axis))
     return dot / (jnp.maximum(nc, cfg.eps) * jnp.maximum(nn_, cfg.eps))
 
 
@@ -102,7 +104,7 @@ def _dot(c, n, axis, cfg):
 def _rmse(c, n, axis, cfg):
     """Root mean squared difference over channels (``nfp.py:172-179``)."""
     d = c - n
-    return jnp.sqrt(jnp.mean(d * d, axis=axis))
+    return safe_sqrt(jnp.mean(d * d, axis=axis))
 
 
 def _geman(c, n, axis, cfg):
@@ -125,7 +127,7 @@ def _hellinger(c, n, axis, cfg):
     """Hellinger distance on |x|+eps surrogates (``nfp.py:229-241``)."""
     a = jnp.sqrt(jnp.abs(c) + cfg.eps)
     b = jnp.sqrt(jnp.abs(n) + cfg.eps)
-    return jnp.sqrt(0.5 * jnp.sum((a - b) ** 2, axis=axis))
+    return safe_sqrt(0.5 * jnp.sum((a - b) ** 2, axis=axis))
 
 
 def _chisquared1(c, n, axis, cfg):
@@ -141,7 +143,8 @@ def _chisquared2(c, n, axis, cfg):
 def _gfc(c, n, axis, cfg):
     """Goodness-of-Fit Coefficient: dot / (||c||·||n|| + eps) (``nfp.py:265-276``)."""
     num = jnp.sum(c * n, axis=axis)
-    den = jnp.sqrt(jnp.sum(c * c, axis=axis)) * jnp.sqrt(jnp.sum(n * n, axis=axis))
+    den = (safe_sqrt(jnp.sum(c * c, axis=axis))
+           * safe_sqrt(jnp.sum(n * n, axis=axis)))
     return num / (den + cfg.eps)
 
 
@@ -185,8 +188,8 @@ def _scs(c, n, axis, cfg):
     scrubbed to 0. The reference (``nfp.py:344-374``) additionally mixes batch
     elements via a broadcasting bug; we intentionally do not replicate that.
     """
-    nc = jnp.sqrt(jnp.sum(c * c, axis=axis)) + cfg.q_scs
-    nn_ = jnp.sqrt(jnp.sum(n * n, axis=axis)) + cfg.q_scs
+    nc = safe_sqrt(jnp.sum(c * c, axis=axis)) + cfg.q_scs
+    nn_ = safe_sqrt(jnp.sum(n * n, axis=axis)) + cfg.q_scs
     cos = jnp.sum(c * n, axis=axis) / (nc * nn_)
     scs = jnp.sign(cos) * jnp.abs(cos) ** cfg.p
     return jnp.nan_to_num(scs, nan=0.0, posinf=0.0, neginf=0.0)
@@ -200,7 +203,7 @@ def _mahalanobis(c, n, axis, cfg):
             "the nfp() entry point computes it automatically."
         )
     d = c - n
-    return jnp.sqrt(jnp.sum(d * d * cfg.inv_var, axis=axis))
+    return safe_sqrt(jnp.sum(d * d * cfg.inv_var, axis=axis))
 
 
 # --------------------------------------------------------------------------
@@ -308,21 +311,21 @@ def _sep_norm_terms(c, n, cfg):
 def _sep_norm_fin(s, nc, cfg):
     if cfg.p == 1:
         return s[0]
-    return jnp.sqrt(s[0]) if cfg.p == 2 else s[0] ** (1.0 / cfg.p)
+    return safe_sqrt(s[0]) if cfg.p == 2 else s[0] ** (1.0 / cfg.p)
 
 
 SEPARABLE: Dict[str, SeparableMeasure] = {
     "norm": SeparableMeasure(1, _sep_norm_terms, _sep_norm_fin),
     "cosine": SeparableMeasure(
         3, lambda c, n, cfg: (c * n, c * c, n * n),
-        lambda s, nc, cfg: s[0] / (jnp.maximum(jnp.sqrt(s[1]), cfg.eps)
-                                   * jnp.maximum(jnp.sqrt(s[2]), cfg.eps))),
+        lambda s, nc, cfg: s[0] / (jnp.maximum(safe_sqrt(s[1]), cfg.eps)
+                                   * jnp.maximum(safe_sqrt(s[2]), cfg.eps))),
     "dot": SeparableMeasure(1, lambda c, n, cfg: (c * n,),
                             lambda s, nc, cfg: s[0]),
     "attention": SeparableMeasure(1, lambda c, n, cfg: (c * n,),
                                   lambda s, nc, cfg: s[0]),
     "rmse": SeparableMeasure(1, lambda c, n, cfg: ((c - n) ** 2,),
-                             lambda s, nc, cfg: jnp.sqrt(s[0] / nc)),
+                             lambda s, nc, cfg: safe_sqrt(s[0] / nc)),
     "geman": SeparableMeasure(
         1, lambda c, n, cfg: (((c - n) ** 2) / ((c - n) ** 2 + cfg.eps),),
         lambda s, nc, cfg: s[0] / nc),
@@ -335,7 +338,7 @@ SEPARABLE: Dict[str, SeparableMeasure] = {
     "hellinger": SeparableMeasure(
         1, lambda c, n, cfg: ((jnp.sqrt(jnp.abs(c) + cfg.eps)
                                - jnp.sqrt(jnp.abs(n) + cfg.eps)) ** 2,),
-        lambda s, nc, cfg: jnp.sqrt(0.5 * s[0])),
+        lambda s, nc, cfg: safe_sqrt(0.5 * s[0])),
     "chisquared1": SeparableMeasure(
         1, lambda c, n, cfg: ((c - n) ** 2
                               / (jnp.abs(c) + jnp.abs(n) + cfg.eps),),
@@ -345,7 +348,7 @@ SEPARABLE: Dict[str, SeparableMeasure] = {
         lambda s, nc, cfg: s[0]),
     "gfc": SeparableMeasure(
         3, lambda c, n, cfg: (c * n, c * c, n * n),
-        lambda s, nc, cfg: s[0] / (jnp.sqrt(s[1]) * jnp.sqrt(s[2])
+        lambda s, nc, cfg: s[0] / (safe_sqrt(s[1]) * safe_sqrt(s[2])
                                    + cfg.eps)),
     "jeffrey": SeparableMeasure(
         1, lambda c, n, cfg: (
@@ -363,10 +366,10 @@ SEPARABLE: Dict[str, SeparableMeasure] = {
     "scs": SeparableMeasure(
         3, lambda c, n, cfg: (c * n, c * c, n * n),
         lambda s, nc, cfg: jnp.nan_to_num(
-            jnp.sign(s[0] / ((jnp.sqrt(s[1]) + cfg.q_scs)
-                             * (jnp.sqrt(s[2]) + cfg.q_scs)))
-            * jnp.abs(s[0] / ((jnp.sqrt(s[1]) + cfg.q_scs)
-                              * (jnp.sqrt(s[2]) + cfg.q_scs))) ** cfg.p,
+            jnp.sign(s[0] / ((safe_sqrt(s[1]) + cfg.q_scs)
+                             * (safe_sqrt(s[2]) + cfg.q_scs)))
+            * jnp.abs(s[0] / ((safe_sqrt(s[1]) + cfg.q_scs)
+                              * (safe_sqrt(s[2]) + cfg.q_scs))) ** cfg.p,
             nan=0.0, posinf=0.0, neginf=0.0)),
 }
 

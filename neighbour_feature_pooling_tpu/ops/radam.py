@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .common import safe_sqrt
+
 __all__ = [
     "lcg_sequence",
     "lcg_weights",
@@ -133,7 +135,9 @@ def lp_normalize_spatial(x: jax.Array, p: float = 2.0, eps: float = 1e-10) -> ja
     (``radam_pooling.py:8-16, 30``) for NHWC input: the norm is taken over
     (H, W) per (batch, channel).
     """
-    norm = jnp.sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True))
+    # safe_sqrt: a dead (all-zero) channel map otherwise NaNs the backward
+    # pass — sqrt'(0)=inf times the maximum()-masked zero cotangent
+    norm = safe_sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True))
     return x / jnp.maximum(norm, eps)
 
 
@@ -183,7 +187,13 @@ def radam_pool(
     hx = jnp.einsum("bmqn,bcn->bmqc", hh, xs,
                     preferred_element_type=dtype, precision=hi)
     h2 = jnp.sum(hh * hh, axis=-1)               # (B, M, Q)
-    beta = hx / h2[..., None]
+    # masked division: a fully saturated RAE (H underflows to 0 → h2 == 0)
+    # contributes 0 exactly like the reference's NaN→nan_to_num scrub
+    # (radam_pooling.py:61), but with finite gradients — plain hx/h2 makes
+    # the backward pass NaN through the scrub's zero cotangent
+    dead = h2 <= 0.0
+    beta = jnp.where(dead[..., None], 0.0,
+                     hx / jnp.where(dead, 1.0, h2)[..., None])
     pooled = jnp.sum(beta, axis=1)               # (B, Q, C), Σ over M RAEs
     pooled = jnp.nan_to_num(pooled)
     return pooled.astype(x.dtype)
