@@ -22,7 +22,7 @@ BATCH = 128
 IMG = 224
 
 
-def measure_tpu(batch=BATCH, iters=30, warmup=5):
+def measure_tpu(batch=BATCH, iters=30, warmup=5, bf16=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,7 +35,8 @@ def measure_tpu(batch=BATCH, iters=30, warmup=5):
     # stem_s2d: space-to-depth stem conv — numerically equivalent (same
     # multiply-add set, tests/test_models.py::test_stem_s2d_equivalence),
     # measured faster on v5e (PARITY.md)
-    model = get_model("resnet18", "texture_nfp", 21, stem_s2d=True)
+    model = get_model("resnet18", "texture_nfp", 21, stem_s2d=True,
+                      **({"dtype": jnp.bfloat16} if bf16 else {}))
     rng = np.random.default_rng(0)
     # two distinct device-resident inputs, alternated so no caching layer in
     # the experimental tunnel backend can short-circuit repeated calls
@@ -247,6 +248,13 @@ def main():
         record["train_img_per_s_bf16"] = round(measure_tpu_train(), 1)
     except Exception as e:  # the headline metric must survive regardless
         print(f"# train measurement failed: {e}", file=sys.stderr)
+    try:
+        # the serving recommendation is bf16 (PARITY.md) — report its
+        # forward rate alongside the fp32 headline (kept fp32 for
+        # round-to-round comparability)
+        record["fwd_img_per_s_bf16"] = round(measure_tpu(bf16=True), 1)
+    except Exception as e:
+        print(f"# bf16 fwd measurement failed: {e}", file=sys.stderr)
     # Opt-in: the XLA-route dynamic int8 tier measured 0.94× bf16
     # (18.5k vs 19.6k img/s, 2026-08-18; the calibrated tier is at
     # parity) — close enough to the bf16 headline that it isn't worth
