@@ -31,10 +31,13 @@ accuracy**. This script does exactly that:
 * trains this framework's ``resnet18 × {gap_only, texture_nfp}`` through
   the real ``Trainer`` on the same data, and prints both tables.
 
-Two backbone families are covered: ResNet18 × {gap_only, texture_nfp}
-(the README's flagship NFP row) and ViT-Tiny × {gap_only,
-texture_lacunarity} (the PlantVillage row's composition, with the
-reference's own ``lacunarity_pooling`` head imported).
+All five texture-pooling families are covered across three backbones:
+ResNet18 × {gap_only, texture_nfp, texture_deepten, texture_fractal},
+ViT-Tiny × {gap_only, texture_lacunarity} (the PlantVillage row's
+composition) and MobileNetV3 × {gap_only, texture_radam} (the
+GTOS-Mobile row's) — each texture head is the reference's OWN module
+imported read-only from ``/root/reference``. ``texture_fractal`` needs
+``--image_size 192`` (GDCB's kernel-6 pool on the input_size/32 map).
 
 Usage::
 
@@ -67,9 +70,21 @@ from neighbour_feature_pooling_tpu.train.metrics import (  # noqa: E402
     metrics_from_confusion_np)
 
 #: variants the torch side implements per backbone: the flagship NFP row
-#: (ResNet18, README.md:72-73) and the lacunarity row's composition
-#: (ViT-Tiny, README.md:75)
+#: (ResNet18, README.md:72-73), the lacunarity row's composition
+#: (ViT-Tiny, README.md:75), the RADAM row's (MobileNetV3, README.md:74),
+#: plus the two remaining pooling families (DeepTEN, fractal) on ResNet18 —
+#: together all five texture-pooling families are covered
 VARIANTS = {
+    "resnet18": ("gap_only", "texture_nfp", "texture_deepten",
+                 "texture_fractal"),
+    "vittiny": ("gap_only", "texture_lacunarity"),
+    "mobilenetv3": ("gap_only", "texture_radam"),
+}
+
+#: the pair a bare invocation runs (GAP control + the backbone's
+#: README-row texture head); the extra resnet18 families run via
+#: ``--variants texture_deepten,texture_fractal``
+DEFAULT_VARIANTS = {
     "resnet18": ("gap_only", "texture_nfp"),
     "vittiny": ("gap_only", "texture_lacunarity"),
     "mobilenetv3": ("gap_only", "texture_radam"),
@@ -257,7 +272,53 @@ def _build_torch_model(model_type: str, variant: str, num_classes: int,
             v = torch.nn.functional.adaptive_avg_pool2d(m, 1).flatten(1)
             return self.fc(x_avg * self.nfp_proj(v))
 
-    return TextureNFP() if variant == "texture_nfp" else GapOnly()
+    class TextureDeepTEN(nn.Module):
+        """texture_pooling.py:467-483 (ResNet18_DeepTENPooling) with the
+        reference's own DeepTENEncoding op imported at runtime."""
+
+        def __init__(self):
+            super().__init__()
+            if "/root/reference" not in sys.path:
+                sys.path.insert(0, "/root/reference")
+            from models.deepten import DeepTENEncoding
+
+            num_codes = 32
+            self.backbone = ResNet18Features()
+            self.encoding = DeepTENEncoding(in_channels=512,
+                                            num_codes=num_codes)
+            self.bn = nn.BatchNorm1d(num_codes * 512)
+            self.fc = nn.Linear(num_codes * 512, num_classes)
+
+        def forward(self, x):
+            return self.fc(self.bn(self.encoding(self.backbone(x))))
+
+    class TextureFractal(nn.Module):
+        """texture_pooling.py:96-112 (ResNet18_FractalPooling) with the
+        reference's own fractal_pooling head (GDCB box-count), which takes
+        the reference Params-dict shape (Fractal_Pooling.py:44-49)."""
+
+        def __init__(self):
+            super().__init__()
+            if "/root/reference" not in sys.path:
+                sys.path.insert(0, "/root/reference")
+            from models.Fractal_Pooling import fractal_pooling
+
+            self.backbone = ResNet18Features()
+            self.pool = fractal_pooling(Params={
+                "Model_name": "resnet18",
+                "num_ftrs": {"resnet18": 512},
+                "Dataset": "synthetic",
+                "num_classes": {"synthetic": num_classes},
+            })
+            self.fc = nn.Linear(512, num_classes)
+
+        def forward(self, x):
+            f = self.backbone(x)
+            return self.fc(self.pool(f).view(x.shape[0], -1))
+
+    return {"texture_nfp": TextureNFP, "texture_deepten": TextureDeepTEN,
+            "texture_fractal": TextureFractal,
+            "gap_only": GapOnly}[variant]()
 
 
 def _build_torch_vit(variant: str, num_classes: int, image_size: int):
@@ -623,9 +684,16 @@ def main(argv=None):
 
     frameworks = [f.strip() for f in args.frameworks.split(",") if f.strip()]
     variants = ([v.strip() for v in args.variants.split(",") if v.strip()]
-                if args.variants else list(VARIANTS[args.model_type]))
+                if args.variants else list(DEFAULT_VARIANTS[args.model_type]))
     if args.model_type == "vittiny" and args.image_size % 16:
         raise SystemExit("vittiny needs --image_size divisible by 16")
+    if "texture_fractal" in variants and args.image_size < 192:
+        # GDCB's kernel-6 VALID max-pool needs a >=6x6 feature map — the
+        # same constraint in BOTH stacks (the reference's nn.MaxPool2d and
+        # ops/fractal.py fail identically below it); ResNet18's map is
+        # input_size/32
+        raise SystemExit("texture_fractal needs --image_size >= 192 "
+                         "(GDCB kernel-6 pool on the input_size/32 map)")
     results = {}
     records = []
     for fw in frameworks:

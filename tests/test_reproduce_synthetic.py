@@ -114,7 +114,36 @@ def test_torch_mnv3_builder_shapes(rs):
 
 def test_torch_unknown_variant_rejected(rs):
     with pytest.raises(SystemExit, match="unknown variant"):
-        rs._build_torch_model("resnet18", "texture_deepten", 5, 48)
+        rs._build_torch_model("resnet18", "texture_radam", 5, 48)
+
+
+def test_torch_deepten_fractal_builder_shapes(rs):
+    """The remaining two pooling families on ResNet18: the reference's own
+    DeepTENEncoding (texture_pooling.py:467-483 wiring) and fractal_pooling
+    (texture_pooling.py:96-112 wiring) heads produce (B, num_classes)
+    logits and carry gradients."""
+    import torch
+
+    for variant, size in (("texture_deepten", 64), ("texture_fractal", 192)):
+        model = rs._build_torch_model("resnet18", variant, 5, size)
+        model.train()
+        out = model(torch.randn(2, 3, size, size))
+        assert out.shape == (2, 5)
+        out.sum().backward()
+    # DeepTEN head: K=32 codewords over D=512
+    assert model.fc.in_features == 512  # fractal (last built) keeps C
+    dt = rs._build_torch_model("resnet18", "texture_deepten", 5, 64)
+    assert dt.encoding.codewords.shape == (32, 512)
+    assert dt.fc.in_features == 32 * 512
+
+
+def test_fractal_variant_needs_192px(rs, tmp_path):
+    """GDCB's kernel-6 pool constrains BOTH stacks identically; the CLI
+    rejects under-sized configs up front."""
+    with pytest.raises(SystemExit, match="image_size >= 192"):
+        rs.main(["--variants", "texture_fractal", "--image_size", "64",
+                 "--out", str(tmp_path / "o.jsonl"),
+                 "--workdir", str(tmp_path / "w")])
 
 
 def test_quick_end_to_end_both_frameworks(rs, tmp_path, capsys):
