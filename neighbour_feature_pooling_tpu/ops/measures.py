@@ -181,6 +181,14 @@ def _smith(c, n, axis, cfg):
     return 1.0 - min_sum / denom
 
 
+def _scs_from_cos(cos, p):
+    """``sign(cos) * |cos|**p`` with NaN/Inf scrubbed to 0 — shared by the
+    pairwise and separable SCS forms so the sharpening always applies to
+    one and the same cosine value."""
+    scs = jnp.sign(cos) * jnp.abs(cos) ** p
+    return jnp.nan_to_num(scs, nan=0.0, posinf=0.0, neginf=0.0)
+
+
 def _scs(c, n, axis, cfg):
     """Sharpened cosine similarity, per-sample correct form.
 
@@ -190,9 +198,7 @@ def _scs(c, n, axis, cfg):
     """
     nc = safe_sqrt(jnp.sum(c * c, axis=axis)) + cfg.q_scs
     nn_ = safe_sqrt(jnp.sum(n * n, axis=axis)) + cfg.q_scs
-    cos = jnp.sum(c * n, axis=axis) / (nc * nn_)
-    scs = jnp.sign(cos) * jnp.abs(cos) ** cfg.p
-    return jnp.nan_to_num(scs, nan=0.0, posinf=0.0, neginf=0.0)
+    return _scs_from_cos(jnp.sum(c * n, axis=axis) / (nc * nn_), cfg.p)
 
 
 def _mahalanobis(c, n, axis, cfg):
@@ -365,12 +371,9 @@ SEPARABLE: Dict[str, SeparableMeasure] = {
         lambda s, nc, cfg: 1.0 - s[0] / (jnp.minimum(s[1], s[2]) + cfg.eps)),
     "scs": SeparableMeasure(
         3, lambda c, n, cfg: (c * n, c * c, n * n),
-        lambda s, nc, cfg: jnp.nan_to_num(
-            jnp.sign(s[0] / ((safe_sqrt(s[1]) + cfg.q_scs)
-                             * (safe_sqrt(s[2]) + cfg.q_scs)))
-            * jnp.abs(s[0] / ((safe_sqrt(s[1]) + cfg.q_scs)
-                              * (safe_sqrt(s[2]) + cfg.q_scs))) ** cfg.p,
-            nan=0.0, posinf=0.0, neginf=0.0)),
+        lambda s, nc, cfg: _scs_from_cos(
+            s[0] / ((safe_sqrt(s[1]) + cfg.q_scs)
+                    * (safe_sqrt(s[2]) + cfg.q_scs)), cfg.p)),
 }
 
 

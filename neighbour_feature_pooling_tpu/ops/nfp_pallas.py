@@ -40,6 +40,7 @@ from jax.sharding import NamedSharding, PartitionSpec
 
 from .measures import MeasureConfig, get_measure, get_separable
 from .neighborhood import (
+    _PAD_MODES,
     neighbor_offsets,
     nfp_output_size,
     nfp_reference,
@@ -53,6 +54,16 @@ __all__ = ["nfp", "nfp_pallas", "pallas_supported"]
 def pallas_supported(measure: str, stride: int) -> bool:
     """The kernel covers the stride-1 fast path for all stat-free measures."""
     return get_measure(measure).name != "mahalanobis" and stride == 1
+
+
+def _largest_divisor_leq(x: int, cap: int) -> int:
+    """Largest divisor of ``x`` that is <= ``cap`` (>= 1) — tile/block sizes
+    must divide the array dim exactly (fori_loop trip counts are static)
+    while staying under a VMEM byte budget."""
+    for cand in range(max(1, min(x, cap)), 1, -1):
+        if x % cand == 0:
+            return cand
+    return 1
 
 
 def _nfp_kernel_unrolled(x_ref, o_ref, *, radius: int, measure: str,
@@ -281,23 +292,7 @@ def nfp_pallas(
     # be dispatch-bound. Input-tile budget ~2 MB per program.
     bytes_per_img = hp * wp * c * 4
     bb_cap = max(1, (2 << 20) // max(bytes_per_img, 1))
-    bb = 1
-    for cand in range(min(b, bb_cap), 0, -1):
-        if b % cand == 0:
-            bb = cand
-            break
-
-    # Strip size: the kernel unrolls the k²−1 neighbor comparisons per
-    # H-strip, so ~24 strip-sized fp32 temporaries are live at once; keep
-    # them within ~4 MB of scoped VMEM. Must divide h_out (the strip loop
-    # is a fori_loop with a static trip count).
-    denom = 24 * bb * w_out * c * 4
-    cap = max(1, min(h_out, (4 << 20) // max(denom, 1)))
-    strip = 1
-    for cand in range(cap, 0, -1):
-        if h_out % cand == 0:
-            strip = cand
-            break
+    bb = _largest_divisor_leq(b, bb_cap)
 
     # Kernel outputs are always fp32 (the in-kernel math is fp32; bf16
     # stores hit Mosaic's unimplemented "Lane broadcast" lowering); the
@@ -341,12 +336,8 @@ def nfp_pallas(
             denom = (sep.n_acc + 2) * bb * c * w_out * 4
         else:
             denom = (sep.n_acc + 3) * bb * w_out * 4
-        cap = max(1, min(h_out, (4 << 20) // max(denom, 1)))
-        strip_chw = 1
-        for cand in range(cap, 0, -1):
-            if h_out % cand == 0:
-                strip_chw = cand
-                break
+        strip_chw = _largest_divisor_leq(
+            h_out, (4 << 20) // max(denom, 1))
         kernel = functools.partial(
             _nfp_kernel_chw, radius=radius, measure=measure,
             similarity=similarity, p=p, eps=eps, q_scs=q_scs,
@@ -357,6 +348,12 @@ def nfp_pallas(
         in_spec = pl.BlockSpec((bb, c, hp, wp), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)
     else:
+        # Strip size: the kernel unrolls the k²−1 neighbor comparisons per
+        # H-strip, so ~24 strip-sized fp32 temporaries are live at once;
+        # keep them within ~4 MB of scoped VMEM. Must divide h_out (the
+        # strip loop is a fori_loop with a static trip count).
+        strip = _largest_divisor_leq(
+            h_out, (4 << 20) // max(24 * bb * w_out * c * 4, 1))
         kernel = functools.partial(
             _nfp_kernel, radius=radius, measure=measure,
             similarity=similarity, p=p, eps=eps, q_scs=q_scs,
@@ -472,13 +469,19 @@ def _forward_value(x, radius, measure, similarity, p, eps, q_scs, stride,
 
 
 def _sp_eligible_static(radius, stride, padding, dilation, padding_mode,
-                        data_format):
+                        data_format, measure):
     """Spatial (H-axis) partitioning is defined for the "same"-output
     configuration every production head uses (stride 1, padding = R·d,
     NHWC): output row i depends on input rows i±R·d only, so an H-sharded
-    shard needs exactly an R·d-row halo from each neighbor shard."""
+    shard needs exactly an R·d-row halo from each neighbor shard.
+
+    ``mahalanobis`` is excluded: its inverse-variance statistics are
+    computed over each sample's FULL spatial extent
+    (``neighborhood._measure_config``), so a per-shard evaluation (halo
+    rows included) would silently change the result."""
     return (stride == 1 and padding == radius * dilation
             and data_format == "NHWC"
+            and get_measure(measure).name != "mahalanobis"
             and padding_mode in ("reflect", "zeros", "replicate", "circular"))
 
 
@@ -536,7 +539,7 @@ def _partitioned_forward(radius, measure, similarity, p, eps, q_scs, stride,
     """
     out_rank = 2 if fuse_gap else 4
     sp_ok = _sp_eligible_static(radius, stride, padding, dilation,
-                                padding_mode, data_format)
+                                padding_mode, data_format, measure)
     rd = radius * dilation
 
     def _local(x):
@@ -585,10 +588,8 @@ def _partitioned_forward(radius, measure, similarity, p, eps, q_scs, stride,
         def _sp_local(x):
             xe = _halo_extend(x, ax, n, rd, padding_mode)
             if padding:  # W padding stays a local op
-                wmode = {"reflect": "reflect", "zeros": "constant",
-                         "replicate": "edge", "circular": "wrap"}[padding_mode]
                 xe = jnp.pad(xe, ((0, 0), (0, 0), (padding, padding), (0, 0)),
-                             mode=wmode)
+                             mode=_PAD_MODES[padding_mode])
             out = _forward_value(xe, radius, measure, similarity, p, eps,
                                  q_scs, stride, 0, dilation, padding_mode,
                                  fuse_gap=fuse_gap, data_format=data_format)

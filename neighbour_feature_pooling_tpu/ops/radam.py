@@ -129,15 +129,22 @@ def radam_alphas(m: int, in_channels: int, q: int = 1) -> np.ndarray:
 
 
 def lp_normalize_spatial(x: jax.Array, p: float = 2.0, eps: float = 1e-10) -> jax.Array:
-    """L2-normalize each channel map over its spatial extent.
+    """Lp-normalize each channel map over its spatial extent.
 
-    Matches ``torch.nn.functional.normalize(x, p=2, dim=(2, 3))`` on NCHW
+    Matches ``torch.nn.functional.normalize(x, p=p, dim=(2, 3))`` on NCHW
     (``radam_pooling.py:8-16, 30``) for NHWC input: the norm is taken over
-    (H, W) per (batch, channel).
+    (H, W) per (batch, channel). p=2 is the production value (the only one
+    the reference's RADAM path uses) and carries the hardened backward —
+    a dead (all-zero) channel map otherwise NaNs the whole step:
+    sqrt'(0)=inf times the maximum()-masked zero cotangent.
     """
-    # safe_sqrt: a dead (all-zero) channel map otherwise NaNs the backward
-    # pass — sqrt'(0)=inf times the maximum()-masked zero cotangent
-    norm = safe_sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True))
+    if p == 2.0:
+        norm = safe_sqrt(jnp.sum(x * x, axis=(1, 2), keepdims=True))
+    elif p == 1.0:
+        norm = jnp.sum(jnp.abs(x), axis=(1, 2), keepdims=True)
+    else:
+        norm = jnp.sum(jnp.abs(x) ** p,
+                       axis=(1, 2), keepdims=True) ** (1.0 / p)
     return x / jnp.maximum(norm, eps)
 
 

@@ -97,7 +97,9 @@ def bn_relu_maxpool(x, mean, var, scale, bias, eps=1e-5):
     computed by the caller; their cotangents are returned as zeros because
     the backward pass applies the full closed-form BatchNorm gradient
     (which already accounts for the stats' dependence on ``x``) to ``dx``.
-    Output dtype is fp32 (the stem feeds bf16-tolerant convs; callers cast).
+    Output dtype follows ``_compute_dtype``: fp32 inputs stay fp32, bf16
+    inputs produce bf16 (callers needing fp32 downstream must cast, as
+    ``_FusedStemTail`` does).
     """
     y, _ = _forward(x, mean, var, scale, bias, eps)
     return y

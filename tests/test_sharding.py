@@ -355,6 +355,22 @@ class TestNFPSpatialPartitioning:
             got = jax.jit(lambda a, r=radius: _f(a, r))(x)
             np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
 
+    def test_mahalanobis_falls_back_to_replication(self):
+        # mahalanobis is the one measure whose config carries per-sample
+        # GLOBAL spatial statistics (inverse variance,
+        # neighborhood._measure_config): evaluated per-shard (halo rows
+        # included) those stats silently change the result — regression:
+        # before the _sp_eligible_static measure gate, the H-sharded
+        # output differed from unsharded by max|d| ~ 0.7 on O(1) outputs
+        from neighbour_feature_pooling_tpu.ops import nfp
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((4, 32, 9, 8)).astype(np.float32))
+        f = jax.jit(lambda a: nfp(a, 1, "mahalanobis", False, 1.0, 1e-6,
+                                  1e-6, 1, 1, 1, "reflect", "NHWC", False))
+        want = np.asarray(f(x))
+        got = f(self._h_sharded(x, self._sp_mesh()))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
     def test_padding0_config_falls_back(self):
         # padding=0 shrinks the map (NFPBottleneck): not sp-eligible —
         # the batch-only rule must serve it correctly

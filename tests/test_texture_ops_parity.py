@@ -205,6 +205,22 @@ def test_lp_normalize_matches_torch():
     np.testing.assert_allclose(ours, _nchw_to_nhwc(golden), atol=1e-6)
 
 
+@pytest.mark.parametrize("p", [1.0, 3.0])
+def test_lp_normalize_general_p_matches_torch(p):
+    """The reference lp_norm_layer is parameterized on p
+    (radam_pooling.py:8-16); non-default p must actually take effect
+    (regression: it used to be silently ignored, always computing L2)."""
+    x = _rand((2, 8, 7, 7), seed=11)
+    golden = torch.nn.functional.normalize(
+        torch.from_numpy(x), p=p, dim=(2, 3), eps=1e-10).numpy()
+    ours = np.asarray(lp_normalize_spatial(
+        jnp.asarray(_nchw_to_nhwc(x)), p=p))
+    np.testing.assert_allclose(ours, _nchw_to_nhwc(golden), atol=1e-6)
+    # and p must change the answer (the old bug made every p an L2)
+    l2 = np.asarray(lp_normalize_spatial(jnp.asarray(_nchw_to_nhwc(x))))
+    assert np.abs(ours - l2).max() > 1e-3
+
+
 # ------------------------------------------------------------- gradients
 
 def test_ops_differentiable():
