@@ -616,8 +616,26 @@ def train_jax(variant: str, seed: int, args, workdir: str) -> float:
     enable_compilation_cache()
     dm = _make_dm(args, seed)
     model = get_model(args.model_type, variant, dm.num_classes)
+    init_variables = None
+    if getattr(args, "torch_init", False):
+        # init-sensitivity arm: re-sample the flax init from the torch
+        # nn.Conv2d/nn.Linear default distributions so both stacks start
+        # from the SAME weight law (models/torch_init.py). The compiled
+        # train step is unchanged — only the initial leaves differ.
+        import jax
+        import jax.numpy as jnp
+
+        from neighbour_feature_pooling_tpu.models import torch_default_init
+
+        dummy = jnp.zeros((1, args.image_size, args.image_size, 3),
+                          jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(seed)}, dummy,
+                               train=False)
+        init_variables = torch_default_init(variables,
+                                            jax.random.PRNGKey(seed))
     run = os.path.join(workdir, f"{variant}-seed{seed}")
-    trainer = Trainer(model, dm.num_classes, TrainerConfig(
+    trainer = Trainer(model, dm.num_classes, init_variables=init_variables,
+                      config=TrainerConfig(
         learning_rate=args.learning_rate, max_epochs=args.max_epochs,
         patience=args.max_epochs + 1,  # fixed-epoch protocol (both stacks)
         label_smoothing=0.05, seed=seed, tensorboard=False,
@@ -664,6 +682,12 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true",
                    help="tiny smoke config (2 classes, 8 img/class, 48px, "
                         "1 epoch, seed 42)")
+    p.add_argument("--torch_init", action="store_true",
+                   help="jax side only: re-sample the flax init from torch "
+                        "nn.Conv2d/nn.Linear defaults (kaiming-uniform "
+                        "a=sqrt(5) kernels, uniform biases) so both stacks "
+                        "start from the same weight distribution — the "
+                        "init-sensitivity arm of the parity experiment")
     p.add_argument("--cpu", action="store_true",
                    help="run the jax side on the CPU backend (the axon "
                         "sitecustomize ignores JAX_PLATFORMS; this flag is "
@@ -711,11 +735,14 @@ def main(argv=None):
                 print(f"{fw:5s} {variant:12s} seed {seed}: "
                       f"test acc {acc:.4f}  ({dt:.0f}s)")
                 accs.append(acc)
-                records.append({"framework": fw,
-                                "model_type": args.model_type,
-                                "variant": variant,
-                                "seed": seed, "test_acc": acc,
-                                "train_s": round(dt, 1)})
+                rec = {"framework": fw,
+                       "model_type": args.model_type,
+                       "variant": variant,
+                       "seed": seed, "test_acc": acc,
+                       "train_s": round(dt, 1)}
+                if args.torch_init and fw == "jax":
+                    rec["torch_init"] = True
+                records.append(rec)
             results[(fw, variant)] = accs
 
     print("\n== mean ± std over seeds", args.seeds, "==")
