@@ -6,11 +6,13 @@ to ``U(-1/sqrt(fan_in), +1/sqrt(fan_in))`` — and the bias from the same
 ``U(-1/sqrt(fan_in), ...)`` bound computed from the weight's fan-in
 (torch ``nn/modules/conv.py::reset_parameters`` /
 ``nn/modules/linear.py``).  Flax defaults differ (lecun-normal kernels,
-zero biases).  Every torch module in the reference stack — the hand-built
-backbones and heads are raw ``nn.Conv2d``/``nn.Linear``
-(e.g. ``/root/reference/models/texture_pooling.py``) — therefore trains
-from a measurably different weight distribution than this framework's
-flax init.
+zero biases).  The torch arm of the offline parity experiment — the
+hand-built raw ``nn.Conv2d``/``nn.Linear`` backbones in
+``scripts/reproduce_synthetic.py`` and the reference's own heads (e.g.
+``/root/reference/models/nfp_heads.py``; the reference backbones proper
+come from timm, ``/root/reference/models/texture_pooling.py:19``) —
+therefore trains from a measurably different weight distribution than
+this framework's flax init.
 
 ``torch_default_init`` re-samples every ``(kernel, bias)`` pair in a flax
 params tree from the torch distributions so init-sensitivity experiments
@@ -61,7 +63,8 @@ def torch_default_init(variables, rng):
             key, kw, kb = jax.random.split(key, 3)
             out["kernel"] = jax.random.uniform(
                 kw, kernel.shape, kernel.dtype, -bound, bound)
-            for name, leaf in tree.items():
+            for name in sorted(tree):  # sorted: order-stable rng, both
+                leaf = tree[name]      # branches (advisor round-3 note)
                 if name == "kernel":
                     continue
                 if name == "bias":

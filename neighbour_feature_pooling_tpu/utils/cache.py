@@ -69,14 +69,16 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
     compile-time feature list (which bakes in the pseudo-features
     ``+prefer-no-scatter,+prefer-no-gather``) against the runtime host
     probe (which never reports them) — so EVERY reload logs a
-    machine-mismatch error, and on a host whose real CPUID differs from
-    the writer's (masked identically in /proc/cpuinfo by the Firecracker
-    CPU template, so un-fingerprintable) the mismatched executable
-    SIGABRTs mid-run. Observed twice via ``metrics_from_confusion``
-    aborting in test_cli; two-process repro in a fresh dir shows the
-    mismatch on every load. A cache that may abort the process on hit is
-    worth less than the seconds it saves, and the dir cannot be split
-    per backend within one process. TPU entries are device code —
+    machine-mismatch error (two-process repro in a fresh dir shows the
+    mismatch on every load), and the dir cannot be split per backend
+    within one process. The log spam alone outweighs the seconds a CPU
+    cache saves. NOTE (corrected in round 4): the test_cli SIGABRTs this
+    skip was once blamed for were NOT cache-related — they reproduce
+    with the guard verified active and are XLA:CPU's 40 s cross-device
+    all-reduce rendezvous timing out when 8 virtual-device threads
+    contend for 1 core (``rendezvous.cc: Termination timeout for all
+    reduce``, process aborted by design); see tests/test_cli.py's module
+    docstring and CLAUDE.md. TPU entries are device code —
     host-portable and 1–6 min each through the relay — so TPU processes
     keep the persistent cache.
     """

@@ -182,6 +182,51 @@ class SyntheticTextureDataModule(ArrayDataModule):
 # -------------------------------------------------------------- torch stack
 
 
+def flax_default_init_torch(model):
+    """Re-initialize a torch model from flax's default weight law — the
+    mirror arm of ``--torch_init`` (models/torch_init.py): every
+    ``nn.Conv2d``/``nn.Linear`` weight becomes lecun-normal (truncated
+    normal at ±2σ, stddev √(1/fan_in), flax's
+    ``variance_scaling(1.0, "fan_in", "truncated_normal")`` including its
+    1/0.8796 truncation-variance correction) with zero bias, and
+    ``nn.MultiheadAttention``'s fused ``in_proj`` gets fan_in=embed_dim
+    per row — matching ``backbones/vit.py::_ProjParams``, which flattens
+    the fused QKV kernel to (fan_in=D, fan_out) before lecun_normal.
+    BatchNorm/LayerNorm (ones/zeros) and the ViT cls (zeros) /
+    pos-embed (N(0, 0.02)) already agree between the two stacks and are
+    left untouched.  Uses the ambient torch RNG (caller seeds)."""
+    import torch
+    import torch.nn as nn
+
+    # flax truncates the UNIT normal at ±2 then rescales so the post-
+    # truncation stddev is exactly sqrt(1/fan_in)
+    trunc_correction = 1.0 / 0.87962566103423978
+
+    def lecun_trunc_(weight, fan_in):
+        std = (1.0 / fan_in) ** 0.5 * trunc_correction
+        nn.init.trunc_normal_(weight, mean=0.0, std=std,
+                              a=-2.0 * std, b=2.0 * std)
+
+    for mod in model.modules():
+        if isinstance(mod, nn.Conv2d):
+            kh, kw = mod.kernel_size
+            lecun_trunc_(mod.weight,
+                         mod.in_channels // mod.groups * kh * kw)
+            if mod.bias is not None:
+                nn.init.zeros_(mod.bias)
+        elif isinstance(mod, nn.Linear):
+            lecun_trunc_(mod.weight, mod.in_features)
+            if mod.bias is not None:
+                nn.init.zeros_(mod.bias)
+        elif isinstance(mod, nn.MultiheadAttention):
+            if mod.in_proj_weight is not None:
+                lecun_trunc_(mod.in_proj_weight, mod.embed_dim)
+            if mod.in_proj_bias is not None:
+                nn.init.zeros_(mod.in_proj_bias)
+            # out_proj is an nn.Linear and is re-drawn by the branch above
+    return model
+
+
 def _build_torch_model(model_type: str, variant: str, num_classes: int,
                        image_size: int):
     """The reference composition with timm replaced by equivalent
@@ -581,6 +626,9 @@ def train_torch(variant: str, seed: int, args) -> float:
     dm.setup()
     model = _build_torch_model(args.model_type, variant, dm.num_classes,
                                args.image_size)
+    if getattr(args, "flax_init", False):
+        # init-sensitivity mirror arm: torch stack, flax weight law
+        flax_default_init_torch(model)
     opt = torch.optim.Adam(model.parameters(), lr=args.learning_rate)
     crit = nn.CrossEntropyLoss(label_smoothing=0.05, reduction="none")
     best_acc, best_state = -1.0, None
@@ -688,6 +736,12 @@ def main(argv=None):
                         "a=sqrt(5) kernels, uniform biases) so both stacks "
                         "start from the same weight distribution — the "
                         "init-sensitivity arm of the parity experiment")
+    p.add_argument("--flax_init", action="store_true",
+                   help="torch side only: re-init nn.Conv2d/nn.Linear/"
+                        "MultiheadAttention from flax defaults (lecun-"
+                        "normal kernels, zero biases) — the mirror of "
+                        "--torch_init, used to test whether a residual "
+                        "accuracy gap is init-distribution-driven")
     p.add_argument("--cpu", action="store_true",
                    help="run the jax side on the CPU backend (the axon "
                         "sitecustomize ignores JAX_PLATFORMS; this flag is "
@@ -711,6 +765,16 @@ def main(argv=None):
                 if args.variants else list(DEFAULT_VARIANTS[args.model_type]))
     if args.model_type == "vittiny" and args.image_size % 16:
         raise SystemExit("vittiny needs --image_size divisible by 16")
+    if getattr(args, "torch_init", False) and args.model_type == "vittiny":
+        # torch_default_init targets the conv-net families only: the ViT
+        # fused-QKV ReshapedKernelDense kernel is 3-D (overcounted fan_in)
+        # and timm ViTs use trunc-normal, not torch module defaults — a
+        # vittiny --torch_init arm would be a mis-initialized experiment
+        # (models/torch_init.py docstring).
+        raise SystemExit("--torch_init is conv-net-only (resnet18/resnet50/"
+                         "mobilenetv3); it would mis-initialize vittiny's "
+                         "fused-QKV kernel and timm ViTs use trunc-normal "
+                         "init anyway")
     if "texture_fractal" in variants and args.image_size < 192:
         # GDCB's kernel-6 VALID max-pool needs a >=6x6 feature map — the
         # same constraint in BOTH stacks (the reference's nn.MaxPool2d and
@@ -742,6 +806,8 @@ def main(argv=None):
                        "train_s": round(dt, 1)}
                 if args.torch_init and fw == "jax":
                     rec["torch_init"] = True
+                if getattr(args, "flax_init", False) and fw == "torch":
+                    rec["flax_init"] = True
                 records.append(rec)
             results[(fw, variant)] = accs
 

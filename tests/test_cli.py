@@ -1,5 +1,15 @@
 """CLI surface tests: flag compatibility with the reference demo.py and a
-1-epoch end-to-end run through main()."""
+1-epoch end-to-end run through main().
+
+Every main()-driven training test pins ``--num_devices 1``. Without it,
+cli.main defaults to the full virtual 8-device mesh (cli.py::run_experiment),
+and on this oversubscribed 1-core CI host the 8 per-device XLA:CPU threads
+can miss the 40 s cross-device all-reduce rendezvous, upon which XLA aborts
+the process by design (``rendezvous.cc: Termination timeout for all
+reduce``, SIGABRT) — reproduced ~50% of full-suite runs in round 3.
+Multi-device coverage lives in test_sharding/test_zero/test_tp/test_pp,
+which use tiny fast steps that stay inside the rendezvous window.
+"""
 
 import os
 
@@ -130,7 +140,7 @@ def test_main_end_to_end_synthetic(tmp_path, monkeypatch, capsys):
     main(["--dataset", "synthetic", "--model_type", "resnet18",
           "--model_variant", "gap_only", "--input_size", "24",
           "--batch_size", "16", "--max_epochs", "1", "--seeds", "7",
-          "--learning_rate", "1e-3"])
+          "--learning_rate", "1e-3", "--num_devices", "1"])
     out = capsys.readouterr().out
     assert "Final Test Accuracy" in out
     assert (tmp_path / "logs" / "synthetic").exists()
@@ -150,7 +160,7 @@ def test_main_export_artifact(tmp_path, monkeypatch, capsys):
     main(["--dataset", "synthetic", "--model_type", "resnet18",
           "--model_variant", "gap_only", "--input_size", "24",
           "--batch_size", "16", "--max_epochs", "1", "--seeds", "7",
-          "--learning_rate", "1e-3",
+          "--learning_rate", "1e-3", "--num_devices", "1",
           "--export_dir", str(tmp_path / "artifact"),
           "--export_quantize", "int8",
           "--export_batch_size", "4"])
@@ -300,7 +310,7 @@ def test_main_resume_flag(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     base = ["--dataset", "synthetic", "--model_type", "resnet18",
             "--model_variant", "gap_only", "--input_size", "24",
-            "--batch_size", "16", "--seeds", "7",
+            "--batch_size", "16", "--seeds", "7", "--num_devices", "1",
             "--learning_rate", "1e-3", "--num_samples", "48"]
     main(base + ["--max_epochs", "1"])
     capsys.readouterr()
@@ -324,7 +334,7 @@ def test_main_eval_only(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     common = ["--dataset", "synthetic", "--model_type", "resnet18",
               "--model_variant", "gap_only", "--input_size", "24",
-              "--batch_size", "16", "--seeds", "7",
+              "--batch_size", "16", "--seeds", "7", "--num_devices", "1",
               "--learning_rate", "1e-3"]
     main(common + ["--max_epochs", "1"])
     out_train = capsys.readouterr().out
@@ -371,7 +381,7 @@ def test_main_eval_only_restore_none_warns_fresh_weights(
     monkeypatch.chdir(tmp_path)
     main(["--dataset", "synthetic", "--model_type", "resnet18",
           "--model_variant", "gap_only", "--input_size", "24",
-          "--batch_size", "16", "--seeds", "7",
+          "--batch_size", "16", "--seeds", "7", "--num_devices", "1",
           "--eval_only", "--eval_restore", "none"])
     out = capsys.readouterr().out
     assert "FRESHLY INITIALIZED" in out

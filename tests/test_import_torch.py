@@ -332,7 +332,8 @@ def test_cli_finetune_from_imported_checkpoint(tmp_path, monkeypatch,
     main(["--dataset", "synthetic", "--model_type", "resnet18",
           "--model_variant", "gap_only", "--input_size", "24",
           "--batch_size", "16", "--max_epochs", "1", "--seeds", "7",
-          "--learning_rate", "1e-3", "--import_ckpt", path])
+          "--learning_rate", "1e-3", "--import_ckpt", path,
+          "--num_devices", "1"])
     out = capsys.readouterr().out
     assert "imported reference checkpoint" in out
     assert "Final Test Accuracy" in out

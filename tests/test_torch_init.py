@@ -86,6 +86,79 @@ def test_deterministic_and_structure_preserving(resampled):
     assert logits.shape == (2, 4) and bool(jnp.isfinite(logits).all())
 
 
+def _load_rs():
+    spec = importlib.util.spec_from_file_location(
+        "reproduce_synthetic",
+        os.path.join(REPO, "scripts", "reproduce_synthetic.py"))
+    rs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rs)
+    return rs
+
+
+def test_torch_init_rejected_for_vittiny(tmp_path):
+    """--torch_init is conv-net-only: the ViT fused-QKV kernel would get
+    an overcounted fan_in and timm ViTs use trunc-normal anyway
+    (advisor round-3 finding)."""
+    rs = _load_rs()
+    with pytest.raises(SystemExit, match="conv-net-only"):
+        rs.main(["--quick", "--torch_init", "--frameworks", "jax",
+                 "--model_type", "vittiny", "--variants", "gap_only",
+                 "--image_size", "48",
+                 "--out", str(tmp_path / "o.jsonl"),
+                 "--workdir", str(tmp_path / "work")])
+
+
+def test_flax_init_torch_matches_flax_law():
+    """flax_default_init_torch re-draws conv/linear/attention weights with
+    lecun-normal stddev and ±2σ truncation, zeroes biases, and leaves
+    LayerNorm/pos-embed conventions alone."""
+    import torch
+    import torch.nn as nn
+
+    rs = _load_rs()
+    torch.manual_seed(0)
+    model = rs._build_torch_model("vittiny", "gap_only", 4, 48)
+    rs.flax_default_init_torch(model)
+
+    checked = 0
+    for mod in model.modules():
+        if isinstance(mod, nn.Linear):
+            w = mod.weight.detach().numpy()
+            std = (1.0 / mod.in_features) ** 0.5
+            # post-truncation stddev ≈ sqrt(1/fan_in); hard ±2σ(pre) cut
+            assert abs(float(w.std()) - std) / std < 0.12
+            assert np.abs(w).max() <= 2.0 * std / 0.87962566103423978 + 1e-7
+            assert np.all(mod.bias.detach().numpy() == 0.0)
+            checked += 1
+        elif isinstance(mod, nn.MultiheadAttention):
+            w = mod.in_proj_weight.detach().numpy()
+            std = (1.0 / mod.embed_dim) ** 0.5
+            assert abs(float(w.std()) - std) / std < 0.12
+            assert np.all(mod.in_proj_bias.detach().numpy() == 0.0)
+            checked += 1
+    assert checked > 20
+    # cls stays zeros, pos embed stays N(0, 0.02) — both already agree
+    bb = model.backbone
+    assert np.all(bb.cls.detach().numpy() == 0.0)
+    assert abs(float(bb.pos.detach().numpy().std()) - 0.02) < 0.005
+    # the re-initialized model still runs
+    out = model(torch.zeros(2, 3, 48, 48))
+    assert out.shape == (2, 4) and bool(torch.isfinite(out).all())
+
+
+def test_reproduce_synthetic_flax_init_arm(tmp_path):
+    """--flax_init flows through the experiment script: torch rows tagged,
+    quick config completes."""
+    rs = _load_rs()
+    out = tmp_path / "repro.jsonl"
+    rs.main(["--quick", "--flax_init", "--frameworks", "torch",
+             "--variants", "gap_only", "--out", str(out),
+             "--workdir", str(tmp_path / "work")])
+    records = [json.loads(l) for l in out.read_text().splitlines()]
+    runs = [r for r in records if "framework" in r]
+    assert runs and all(r.get("flax_init") for r in runs)
+
+
 def test_reproduce_synthetic_torch_init_arm(tmp_path):
     """--torch_init flows through the experiment script: the jax rows are
     tagged and the run completes on the quick config."""
