@@ -168,6 +168,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "also shards the parameters; per-chip optimizer "
                         "(and under fsdp, weight) memory drops by the "
                         "data-axis size. Composes with --model_parallel")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="pipeline-parallel stages for the ViT encoder "
+                        "(GPipe, parallel/pp.py) on a (data, pipe) mesh; "
+                        "must divide the device count and the ViT depth "
+                        "(12). vittiny only; incompatible with "
+                        "--model_parallel/--zero/--seed_parallel")
+    p.add_argument("--pp_microbatches", type=int, default=8,
+                   help="GPipe microbatches per step under --pipeline; "
+                        "must divide the global batch (pipeline bubble = "
+                        "(P-1)/(M+P-1), so pick M >= ~4 stages)")
     p.add_argument("--num_workers", type=int, default=0)
     p.add_argument("--async_ckpt", action=argparse.BooleanOptionalAction,
                    default=True,
@@ -286,7 +296,21 @@ def run_experiment(seed: int, config: Dict,
     if n_dev is None:
         n_dev = len(jax.devices())
     mp = int(config.get("model_parallel", 1) or 1)
-    if mp > 1:
+    pp = int(config.get("pipeline", 1) or 1)
+    if pp > 1:
+        if mp > 1:
+            raise SystemExit("--pipeline and --model_parallel do not "
+                             "compose yet; pick one")
+        from .models.zoo import canonical_model_type
+        if canonical_model_type(config["model_type"]) != "vittiny":
+            raise SystemExit(
+                "--pipeline stages the ViT encoder's homogeneous blocks; "
+                "it requires --model_type vittiny (ResNet/MobileNet "
+                "stages are heterogeneous — use --model_parallel/--zero)")
+        from .parallel import create_pp_mesh
+
+        mesh = create_pp_mesh(pp, jax.devices()[:n_dev])
+    elif mp > 1:
         from .parallel import create_tp_mesh
 
         mesh = create_tp_mesh(mp, jax.devices()[:n_dev])
@@ -349,7 +373,9 @@ def run_experiment(seed: int, config: Dict,
         log_dir=exp_dir, ckpt_dir=ckpt_dir, seed=seed,
     ), mesh=mesh, pretrained_backbone=pretrained_backbone,
         zero=config.get("zero", "none") or "none",
-        init_variables=init_variables)
+        init_variables=init_variables,
+        pp_microbatches=(config.get("pp_microbatches", 8)
+                         if pp > 1 else 0))
     try:
         if config.get("eval_only"):
             restore = config.get("eval_restore", "best")
@@ -582,6 +608,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         "num_devices": args.num_devices,
         "model_parallel": args.model_parallel,
         "zero": args.zero,
+        "pipeline": args.pipeline,
+        "pp_microbatches": args.pp_microbatches,
         "async_ckpt": args.async_ckpt,
         "resume": args.resume,
         "bf16": args.bf16,
@@ -628,6 +656,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     if seed_parallel and args.model_parallel > 1:
         print("--seed_parallel builds its own (seed, data) mesh; "
               "--model_parallel is ignored with it — falling back to the "
+              "serial seed loop")
+        seed_parallel = False
+    if seed_parallel and args.pipeline > 1:
+        print("--seed_parallel builds its own (seed, data) mesh; "
+              "--pipeline is ignored with it — falling back to the "
               "serial seed loop")
         seed_parallel = False
     if seed_parallel and (args.scheduler == "plateau"

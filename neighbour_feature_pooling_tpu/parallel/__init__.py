@@ -18,6 +18,7 @@ from .seed_parallel import (  # noqa: F401
 )
 from .pp import (  # noqa: F401
     create_pp_mesh,
+    make_pipeline_apply,
     make_vit_pipeline_forward,
     shard_stacked_params,
     stack_block_params,

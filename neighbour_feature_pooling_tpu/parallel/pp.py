@@ -50,6 +50,7 @@ __all__ = [
     "stack_block_params",
     "shard_stacked_params",
     "make_vit_pipeline_forward",
+    "make_pipeline_apply",
 ]
 
 _PIPE = "pipe"
@@ -107,6 +108,73 @@ def shard_stacked_params(variables, vit: ViT, mesh: Mesh,
     return jax.tree_util.tree_map(put, stacked)
 
 
+def _pipeline_encode(block, mesh: Mesh, tokens, n_valid: int,
+                     num_microbatches: int, data_axis: Optional[str],
+                     pipe_axis: str, stacked):
+    """Run ``tokens (B, T, D)`` through pipe-staged encoder blocks via the
+    GPipe shard_map schedule. ``stacked`` is the ``(stages, per_stage, ...)``
+    block-param tree; numerically equal to applying the blocks in sequence."""
+    n_stages = mesh.shape[pipe_axis]
+    m = num_microbatches
+    b, t, d = tokens.shape
+    mb = b // m
+    xmb = tokens.reshape(m, mb, t, d)
+    # within-microbatch rows shard over the data axis only when they
+    # divide it; otherwise run the rows replicated (pipe still shards)
+    da = data_axis if (data_axis and data_axis in mesh.axis_names
+                       and mb % mesh.shape[data_axis] == 0) else None
+
+    def apply_stage(sp, y):
+        def body(yy, bp):
+            return block.apply({"params": bp}, yy, n_valid), None
+
+        y, _ = jax.lax.scan(body, y, sp)
+        return y
+
+    def pipe(sp, xloc):
+        # sp: (1, per_stage, ...) this stage's blocks
+        # xloc: (m, mb_local, t, d) every microbatch, data-sharded rows
+        sp = jax.tree_util.tree_map(lambda a: a[0], sp)
+        idx = jax.lax.axis_index(pipe_axis)
+
+        def tick(y, step):
+            # stage 0 injects microbatch `step`; later ticks clip to the
+            # last one — its outputs fall in the drain bubble and are
+            # never read
+            inj = jax.lax.dynamic_index_in_dim(
+                xloc, jnp.clip(step, 0, m - 1), 0, keepdims=False)
+            y = jnp.where(idx == 0, inj, y)
+            y = apply_stage(sp, y)
+            out_t = y
+            if n_stages > 1:
+                y = jax.lax.ppermute(
+                    y, pipe_axis,
+                    [(i, i + 1) for i in range(n_stages - 1)])
+            return y, out_t
+
+        _, outs = jax.lax.scan(tick, jnp.zeros_like(xloc[0]),
+                               jnp.arange(m + n_stages - 1))
+        # on the last stage, outs[step] is microbatch step-(P-1)'s
+        # result; earlier stages' slices are pipeline scratch. Mask +
+        # psum replicates the real m slices to every pipe shard, so
+        # the output carries no dead slabs (P·m -> m microbatches).
+        outs = outs[n_stages - 1:]
+        if n_stages > 1:
+            outs = jnp.where(idx == n_stages - 1, outs,
+                             jnp.zeros_like(outs))
+            outs = jax.lax.psum(outs, pipe_axis)
+        return outs
+
+    xspec = P(None, da) if da else P()
+    out = shard_map(
+        pipe, mesh=mesh,
+        in_specs=(P(pipe_axis), xspec),
+        out_specs=xspec,
+        check_vma=False,
+    )(stacked, xmb)
+    return out.reshape(b, t, d)
+
+
 def make_vit_pipeline_forward(vit: ViT, mesh: Mesh, num_microbatches: int,
                               data_axis: Optional[str] = "data",
                               pipe_axis: str = _PIPE,
@@ -133,72 +201,73 @@ def make_vit_pipeline_forward(vit: ViT, mesh: Mesh, num_microbatches: int,
 
     def forward(variables, x):
         tokens, n_valid = vit.apply(variables, x, method="embed")
-        b, t, d = tokens.shape
+        b = tokens.shape[0]
         if b % m:
             raise ValueError(f"batch {b} % microbatches {m} != 0")
-        mb = b // m
-        xmb = tokens.reshape(m, mb, t, d)
-        # within-microbatch rows shard over the data axis only when they
-        # divide it; otherwise run the rows replicated (pipe still shards)
-        da = data_axis if data_axis and mb % mesh.shape[data_axis] == 0 \
-            else None
-
         if stacked_params is None:
             stacked = _split_stages(
                 stack_block_params(variables["params"], vit.depth),
                 n_stages)
         else:
             stacked = stacked_params
-
-        def apply_stage(sp, y):
-            def body(yy, bp):
-                return block.apply({"params": bp}, yy, n_valid), None
-
-            y, _ = jax.lax.scan(body, y, sp)
-            return y
-
-        def pipe(sp, xloc):
-            # sp: (1, per_stage, ...) this stage's blocks
-            # xloc: (m, mb_local, t, d) every microbatch, data-sharded rows
-            sp = jax.tree_util.tree_map(lambda a: a[0], sp)
-            idx = jax.lax.axis_index(pipe_axis)
-
-            def tick(y, step):
-                # stage 0 injects microbatch `step`; later ticks clip to the
-                # last one — its outputs fall in the drain bubble and are
-                # never read
-                inj = jax.lax.dynamic_index_in_dim(
-                    xloc, jnp.clip(step, 0, m - 1), 0, keepdims=False)
-                y = jnp.where(idx == 0, inj, y)
-                y = apply_stage(sp, y)
-                out_t = y
-                if n_stages > 1:
-                    y = jax.lax.ppermute(
-                        y, pipe_axis,
-                        [(i, i + 1) for i in range(n_stages - 1)])
-                return y, out_t
-
-            _, outs = jax.lax.scan(tick, jnp.zeros_like(xloc[0]),
-                                   jnp.arange(m + n_stages - 1))
-            # on the last stage, outs[step] is microbatch step-(P-1)'s
-            # result; earlier stages' slices are pipeline scratch. Mask +
-            # psum replicates the real m slices to every pipe shard, so
-            # the output carries no dead slabs (P·m -> m microbatches).
-            outs = outs[n_stages - 1:]
-            if n_stages > 1:
-                outs = jnp.where(idx == n_stages - 1, outs,
-                                 jnp.zeros_like(outs))
-                outs = jax.lax.psum(outs, pipe_axis)
-            return outs
-
-        xspec = P(None, da) if da else P()
-        out = shard_map(
-            pipe, mesh=mesh,
-            in_specs=(P(pipe_axis), xspec),
-            out_specs=xspec,
-            check_vma=False,
-        )(stacked, xmb)
-        enc = out.reshape(b, t, d)
+        enc = _pipeline_encode(block, mesh, tokens, n_valid, m, data_axis,
+                               pipe_axis, stacked)
         return vit.apply(variables, enc, n_valid, method="finalize")
 
     return forward
+
+
+def make_pipeline_apply(model, mesh: Mesh, num_microbatches: int,
+                        data_axis: Optional[str] = "data",
+                        pipe_axis: str = _PIPE):
+    """``model.apply``-compatible callable that runs the model's ViT
+    backbone encoder as a GPipe pipeline over ``mesh[pipe_axis]`` — the
+    Trainer/CLI integration of this module (``--pipeline N``).
+
+    Works for ANY ``TextureModel`` variant whose backbone is the ViT
+    (``models/zoo.py``): a flax method interceptor (the same mechanism the
+    int8 PTQ tier uses, ``quant.py``) swaps ``ViT.encode`` — the
+    sequential loop over the ``depth`` homogeneous blocks — for the
+    pipe-staged shard_map schedule, while embed/finalize/heads/classifier
+    run unchanged (replicated, data-sharded batch). Numerically equal to
+    the stock apply and differentiable, so the jitted train/eval steps
+    consume it as a drop-in ``state.apply_fn``.
+
+    Batches whose global size does not divide ``num_microbatches`` fall
+    back to the sequential encoder for that call (numerically identical;
+    a trace-time message is printed once per shape).
+    """
+    import flax.linen as fnn
+
+    n_stages = mesh.shape[pipe_axis]
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if not isinstance(mod, ViT) or context.method_name != "encode":
+            return next_fun(*args, **kwargs)
+        tokens = args[0]
+        n_valid = args[1] if len(args) > 1 else kwargs.get("n_valid", 0)
+        b = tokens.shape[0]
+        if mod.depth % n_stages or b % num_microbatches:
+            print(f"pipeline: batch {b} % microbatches {num_microbatches}"
+                  f" != 0 or depth {mod.depth} % stages {n_stages} != 0 — "
+                  f"sequential encoder for this shape")
+            return next_fun(*args, **kwargs)
+        params = mod.variables["params"]
+        stacked = _split_stages(stack_block_params(params, mod.depth),
+                                n_stages)
+        # parent=None: constructed inside a live module context (the
+        # interceptor runs within apply), so detach it explicitly — it is
+        # a pure-function applier over explicit stage params, not a
+        # submodule of the intercepted ViT
+        block = EncoderBlock(mod.num_heads, mod.mlp_ratio, mod.dtype,
+                             mod.fused_attn, parent=None)
+        return _pipeline_encode(block, mesh, tokens, n_valid,
+                                num_microbatches, data_axis, pipe_axis,
+                                stacked)
+
+    def apply_fn(variables, *args, **kwargs):
+        with fnn.intercept_methods(interceptor):
+            return model.apply(variables, *args, **kwargs)
+
+    return apply_fn

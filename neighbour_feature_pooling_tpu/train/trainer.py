@@ -108,7 +108,7 @@ class Trainer:
 
     def __init__(self, model, num_classes: int, config: TrainerConfig,
                  mesh=None, pretrained_backbone=None, zero: str = "none",
-                 init_variables=None):
+                 init_variables=None, pp_microbatches: int = 0):
         self.model = model
         self.num_classes = num_classes
         self.config = config
@@ -122,6 +122,26 @@ class Trainer:
                   f"proceeds unsharded")
             zero = "none"
         self.zero = zero
+        # pipeline parallelism (--pipeline): GPipe over the ViT encoder on
+        # a (data, pipe) mesh; pp_microbatches > 0 swaps state.apply_fn for
+        # parallel.pp.make_pipeline_apply. ViT-backbone models only.
+        self.pp_microbatches = int(pp_microbatches or 0)
+        if self.pp_microbatches:
+            from ..models.zoo import canonical_model_type
+
+            if mesh is None or "pipe" not in mesh.axis_names:
+                raise ValueError("pipeline parallelism needs a (data, pipe) "
+                                 "mesh (parallel.create_pp_mesh)")
+            if canonical_model_type(getattr(model, "model_type", "")) \
+                    != "vittiny":
+                raise ValueError(
+                    "--pipeline currently stages the ViT encoder's "
+                    "homogeneous blocks; model_type must be vittiny "
+                    "(ResNet/MobileNet stages are heterogeneous — use "
+                    "--model_parallel / --zero there)")
+            if zero != "none":
+                raise ValueError("--pipeline does not compose with --zero "
+                                 "yet; pick one")
         self.pretrained_backbone = pretrained_backbone
         # full variable tree replacing the random init (imported reference
         # checkpoints, models/import_torch.py); optimizer starts fresh
@@ -286,6 +306,11 @@ class Trainer:
                                    pretrained_backbone=self.pretrained_backbone,
                                    grad_accum=ga,
                                    init_variables=self.init_variables)
+        if self.pp_microbatches:
+            from ..parallel.pp import make_pipeline_apply
+
+            state = state.replace(apply_fn=make_pipeline_apply(
+                self.model, self.mesh, self.pp_microbatches))
         self.state = self._replicate_state(state)
         return self.state
 

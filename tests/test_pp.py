@@ -116,3 +116,95 @@ def test_pipeline_with_data_sharded_input():
     want = jax.jit(lambda v, x: vit.apply(v, x, train=False))(v, x)
     np.testing.assert_allclose(np.asarray(fwd(v, xs)), np.asarray(want),
                                atol=2e-5)
+
+
+# ------------------------------------------------- trainer/CLI integration
+
+
+def test_make_pipeline_apply_matches_model_apply():
+    """The interceptor-based apply (the Trainer's --pipeline path) equals
+    the stock TextureModel apply for logits AND gradients, on any ViT
+    variant."""
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.parallel import make_pipeline_apply
+
+    model = get_model("vittiny", "gap_only", 3)
+    x = jnp.asarray(np.random.default_rng(1)
+                    .standard_normal((8, 32, 32, 3)).astype(np.float32))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    mesh = create_pp_mesh(4)
+    apply_fn = make_pipeline_apply(model, mesh, num_microbatches=4)
+
+    want = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, x)
+    got = jax.jit(lambda v, x: apply_fn(v, x, train=False))(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss(fn):
+        def f(p, x):
+            out = fn({"params": p}, x, train=False)
+            return jnp.sum(out ** 2)
+        return f
+
+    g_want = jax.jit(jax.grad(loss(model.apply)))(v["params"], x)
+    g_got = jax.jit(jax.grad(loss(apply_fn)))(v["params"], x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4), g_want, g_got)
+
+
+def test_make_pipeline_apply_indivisible_batch_falls_back():
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.parallel import make_pipeline_apply
+
+    model = get_model("vittiny", "gap_only", 3)
+    x = jnp.zeros((6, 32, 32, 3), jnp.float32)  # 6 % 4 != 0
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    apply_fn = make_pipeline_apply(model, create_pp_mesh(4), 4)
+    out = apply_fn(v, x, train=False)  # sequential fallback, no raise
+    assert out.shape == (6, 3)
+
+
+def test_trainer_rejects_pipeline_misuse(tmp_path):
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.train import Trainer, TrainerConfig
+
+    cfg = TrainerConfig(learning_rate=1e-3, max_epochs=1, patience=3,
+                        log_dir=str(tmp_path / "l"),
+                        ckpt_dir=str(tmp_path / "c"))
+    mesh = create_pp_mesh(4)
+    with pytest.raises(ValueError, match="vittiny"):
+        Trainer(get_model("resnet18", "gap_only", 2), 2, cfg,
+                mesh=mesh, pp_microbatches=4)
+    with pytest.raises(ValueError, match="mesh"):
+        Trainer(get_model("vittiny", "gap_only", 2), 2, cfg,
+                pp_microbatches=4)
+    with pytest.raises(ValueError, match="zero"):
+        Trainer(get_model("vittiny", "gap_only", 2), 2, cfg,
+                mesh=mesh, zero="zero1", pp_microbatches=4)
+
+
+def test_cli_pipeline_e2e(tmp_path, monkeypatch, capsys):
+    """--pipeline 4 trains a ViT under (data=2, pipe=4) on the virtual
+    mesh through the stock CLI/Trainer path (round-3 VERDICT #3)."""
+    from neighbour_feature_pooling_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    main(["--dataset", "synthetic", "--model_type", "vittiny",
+          "--model_variant", "gap_only", "--input_size", "32",
+          "--batch_size", "16", "--num_samples", "32", "--max_epochs", "1",
+          "--seeds", "7", "--learning_rate", "1e-3",
+          "--pipeline", "4", "--pp_microbatches", "8"])
+    out = capsys.readouterr().out
+    assert "Final Test Accuracy" in out
+    assert (tmp_path / "checkpoints" / "synthetic").exists()
+
+
+def test_cli_pipeline_rejects_non_vit(tmp_path, monkeypatch):
+    from neighbour_feature_pooling_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="vittiny"):
+        main(["--dataset", "synthetic", "--model_type", "resnet18",
+              "--model_variant", "gap_only", "--input_size", "24",
+              "--batch_size", "16", "--max_epochs", "1", "--seeds", "7",
+              "--pipeline", "4"])
