@@ -597,8 +597,16 @@ class FolderDataModule(ArrayDataModule):
     """
 
     dataset_name = "folder"
-    #: optional archive URL used by ``prepare_data`` on networked machines
-    download_url: Optional[str] = None
+
+    @property
+    def download_url(self) -> Optional[str]:
+        """Archive URL used by ``prepare_data`` on networked machines:
+        the ``NFP_TPU_URL_<DATASET>`` env override, else the built-in
+        ``DATASET_URLS`` entry for ``dataset_name`` (``data/download.py``);
+        ``None`` → manual placement only (docs/DATASETS.md)."""
+        from .download import dataset_url  # noqa: PLC0415
+
+        return dataset_url(self.dataset_name)
 
     def __init__(self, data_dir: str, num_classes: Optional[int] = None,
                  resize_size: int = 256, input_size: int = 224,
@@ -642,13 +650,35 @@ class FolderDataModule(ArrayDataModule):
                 archive = download_file(
                     self.download_url,
                     os.path.join(dest,
-                                 os.path.basename(self.download_url)))
+                                 os.path.basename(self.download_url)
+                                 .split("?")[0]))
                 extract_archive(archive, dest)
             root = find_class_root(dest)
             if root:
                 self.data_dir = root
+                self._validate_class_tree(root)
         finally:
             download_barrier()
+
+    def _validate_class_tree(self, root: str) -> None:
+        """Structure check after a download+extract: the mirrors for the
+        round-4 datasets carry no published md5 (zero-egress container —
+        see ``data/download.py::DATASET_URLS``), so verify the extracted
+        tree has the declared class count instead. Mismatches warn rather
+        than fail: PlantVillage mirrors legitimately ship 39 folders (38 +
+        ``Background_without_leaves``) and the module adapts."""
+        if not self.num_classes:
+            return
+        try:
+            found = sum(
+                os.path.isdir(os.path.join(root, d))
+                for d in os.listdir(root))
+        except OSError:
+            return
+        if found != self.num_classes:
+            print(f"{type(self).__name__}: extracted tree has {found} "
+                  f"class folders (expected {self.num_classes}); "
+                  f"proceeding with the tree as-is")
 
     def _scan(self) -> Tuple[List[str], List[int]]:
         if not self.data_dir or not os.path.isdir(self.data_dir):
@@ -703,12 +733,6 @@ class UCMercedDataModule(FolderDataModule):
 
     dataset_name = "UCMerced"
 
-    @property
-    def download_url(self):
-        from .download import DATASET_URLS  # noqa: PLC0415
-
-        return DATASET_URLS["UCMerced"]
-
     def __init__(self, resize_size=256, input_size=224, data_dir=None,
                  batch_size=32, num_workers: int = 0, **kw):
         super().__init__(data_dir, 21, resize_size, input_size, batch_size,
@@ -760,10 +784,10 @@ class EuroSATDataModule(FolderDataModule):
 
     @property
     def download_url(self):  # 13-band Sentinel-2 GeoTIFFs vs the RGB JPEGs
-        from .download import DATASET_URLS
+        from .download import dataset_url
 
-        return DATASET_URLS["EuroSAT_ms" if self.num_input_channels > 3
-                            else "EuroSAT_rgb"]
+        return dataset_url("EuroSAT_ms" if self.num_input_channels > 3
+                           else "EuroSAT_rgb")
 
     def __init__(self, resize_size=64, input_size=64, data_dir=None,
                  batch_size=32, num_workers: int = 0, bands: int = 13, **kw):

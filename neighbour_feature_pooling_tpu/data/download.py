@@ -27,13 +27,19 @@ import zipfile
 from typing import Iterable, Optional
 
 __all__ = ["network_available", "download_file", "extract_archive",
-           "find_class_root", "DATASET_URLS", "is_download_leader",
-           "download_barrier"]
+           "find_class_root", "DATASET_URLS", "dataset_url",
+           "is_download_leader", "download_barrier"]
 
 #: set to "1" to hard-disable all downloads regardless of reachability
 OFFLINE_ENV = "NFP_TPU_OFFLINE"
 
-#: canonical dataset sources (same hosts torchvision/torchgeo use)
+#: canonical dataset sources (same hosts torchvision/torchgeo/AgML use).
+#: The entries added in round 4 (RESISC45/PlantVillage/sugarcane) are the
+#: best-known public mirrors; this container has zero egress, so they are
+#: validated by post-extract STRUCTURE (class-subfolder count,
+#: ``FolderDataModule.prepare_data``) rather than md5, and every one can
+#: be overridden without a code edit via ``NFP_TPU_URL_<DATASET>`` (see
+#: :func:`dataset_url`) or placed manually per docs/DATASETS.md.
 DATASET_URLS = {
     "cifar10": "https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",
     "fashionmnist_base":
@@ -42,7 +48,40 @@ DATASET_URLS = {
         "http://weegee.vision.ucmerced.edu/datasets/UCMerced_LandUse.zip",
     "EuroSAT_rgb": "https://madm.dfki.de/files/sentinel/EuroSAT.zip",
     "EuroSAT_ms": "https://madm.dfki.de/files/sentinel/EuroSATallBands.zip",
+    # torchgeo's Hugging Face mirror of NWPU-RESISC45 (torchgeo
+    # datasets/resisc45.py; the original OneDrive .rar is unfetchable
+    # programmatically and rar is unsupported here)
+    "RESISC45":
+        "https://hf.co/datasets/torchgeo/resisc45/resolve/main/"
+        "NWPU-RESISC45.zip",
+    # Mendeley Data mirror of the PlantVillage leaf-disease corpus
+    # (Hughes & Salathé; "without augmentation" variant — 39 class
+    # folders incl. `Background_without_leaves`, the reference's 38 +
+    # background; PlantVillageDataModule adapts num_classes to the tree)
+    "PlantVillage":
+        "https://prod-dcd-datasets-cache-zipfiles.s3.eu-west-1."
+        "amazonaws.com/tywbtsjrjv-1.zip",
+    # AgML's public dataset bucket (agml.data sources; the reference's
+    # sugarcane module loads through agml, DataModules.py:166-172)
+    "sugarcane_damage_usa":
+        "https://agdata-data.s3.us-west-1.amazonaws.com/"
+        "sugarcane_damage_usa.zip",
+    # GTOS-Mobile has NO stable direct-download URL (distributed via a
+    # Dropbox folder from the authors' pytorch-material-classification
+    # repo): set NFP_TPU_URL_GTOS_MOBILE to a direct archive link, or
+    # place the class tree manually (docs/DATASETS.md)
+    "GTOS-Mobile": None,
 }
+
+
+def dataset_url(name: str) -> Optional[str]:
+    """Resolve the download URL for a dataset: the environment override
+    ``NFP_TPU_URL_<NAME>`` (name upper-cased, non-alphanumerics → ``_``,
+    e.g. ``NFP_TPU_URL_GTOS_MOBILE``) wins over the built-in
+    :data:`DATASET_URLS` entry; ``None`` when neither exists."""
+    key = "NFP_TPU_URL_" + "".join(
+        c if c.isalnum() else "_" for c in name).upper()
+    return os.environ.get(key) or DATASET_URLS.get(name)
 
 #: well-known torchvision md5s (verified on download when present)
 MD5S = {
