@@ -20,6 +20,9 @@ Routes:
   .npy (N,H,W,C) float32 array>}`` for efficient clients. Optional
   ``"preprocessed": true`` skips the resize/normalize transform.
   Response: ``{"probabilities": [[...], ...], "label": [...]}``.
+  With ``--auth_token`` set, requests must carry ``Authorization:
+  Bearer <token>`` (or ``{"token": ...}``) — 401 otherwise; bodies
+  beyond ``--max_body_mb`` (default 256) get 413 on both POST routes.
 - ``POST /reload`` → body ``{"checkpoint": <path prefix>}`` (or ``{}``
   to re-read the build-time path): hot-swap weights without a restart —
   in-flight requests finish on the old weights, the swap happens under
@@ -79,11 +82,16 @@ class PredictionServer:
     def __init__(self, predictor, host: str = "0.0.0.0", port: int = 8000,
                  max_body_mb: int = 256,
                  reload_token: Optional[str] = None,
+                 auth_token: Optional[str] = None,
                  batch_window_ms: float = 0.0):
         self.predictor = predictor
         self.host, self.port = host, port
         self.max_body = max_body_mb * 1024 * 1024
         self.reload_token = reload_token
+        #: when set, POST /predict requires it — ``Authorization: Bearer
+        #: <token>`` header or ``{"token": ...}`` in the body; 401
+        #: otherwise. GET /healthz stays open (readiness probes).
+        self.auth_token = auth_token
         self.batch_window = batch_window_ms / 1000.0
         self._queue = None          # dynamic-batching request queue
         self._batcher: Optional[threading.Thread] = None
@@ -350,9 +358,31 @@ class PredictionServer:
                     n = int(self.headers.get("Content-Length", 0))
                     if n > server.max_body:
                         count()
+                        # drain without storing: responding mid-upload
+                        # races the client's body write (connection
+                        # reset instead of a clean 413)
+                        left = n
+                        while left > 0:
+                            chunk = self.rfile.read(min(left, 1 << 20))
+                            if not chunk:
+                                break
+                            left -= len(chunk)
                         self._send(413, {"error": "body too large"})
                         return
                     payload = json.loads(self.rfile.read(n) or b"{}")
+                    if (not reload_route
+                            and server.auth_token is not None):
+                        # bearer-token gate for the inference route
+                        # (round-3 VERDICT #7): header wins, body token
+                        # accepted for header-less clients
+                        auth = self.headers.get("Authorization", "")
+                        tok = (auth[7:] if auth.startswith("Bearer ")
+                               else payload.get("token"))
+                        if tok != server.auth_token:
+                            count()
+                            self._send(401, {"error": "missing or bad "
+                                                      "bearer token"})
+                            return
                     if reload_route:
                         self._send(200, server._reload(payload))
                     else:
@@ -450,6 +480,14 @@ def main(argv=None) -> None:
                          "requests must carry this token as "
                          '{"token": ...}. Without it, reload only works '
                          "when --host is loopback")
+    ap.add_argument("--auth_token", default=None,
+                    help="require 'Authorization: Bearer <token>' (or "
+                         '{"token": ...} in the body) on POST /predict; '
+                         "unauthenticated requests get 401. /healthz "
+                         "stays open for probes")
+    ap.add_argument("--max_body_mb", type=int, default=256,
+                    help="reject request bodies larger than this with "
+                         "413 (both routes)")
     args = ap.parse_args(argv)
 
     if args.exported:
@@ -477,6 +515,8 @@ def main(argv=None) -> None:
 
     server = PredictionServer(predictor, host=args.host, port=args.port,
                               reload_token=args.reload_token,
+                              auth_token=args.auth_token,
+                              max_body_mb=args.max_body_mb,
                               batch_window_ms=args.batch_window_ms)
     print(f"serving on {args.host}:{args.port} "
           f"(batch={predictor.batch_size})")

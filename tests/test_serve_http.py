@@ -369,3 +369,70 @@ def _npy_b64(arr):
     buf = io.BytesIO()
     np.save(buf, arr)
     return base64.b64encode(buf.getvalue()).decode()
+
+
+class TestPredictHardening:
+    """--auth_token / --max_body_mb on the inference route (round-3
+    VERDICT #7: /predict was the one unauthenticated, uncapped surface)."""
+
+    @pytest.fixture(scope="class")
+    def auth_server(self):
+        from neighbour_feature_pooling_tpu.serve import Predictor
+        from neighbour_feature_pooling_tpu.serve_http import PredictionServer
+
+        pred = Predictor("resnet18", "gap_only", num_classes=4,
+                         batch_size=4, input_size=32, resize_size=36)
+        srv = PredictionServer(pred, host="127.0.0.1", port=0,
+                               auth_token="s3cret", max_body_mb=1)
+        srv.start(block=False)
+        yield srv
+        srv.stop()
+
+    def _img(self):
+        return np.zeros((32, 32, 3), np.float32).tolist()
+
+    def test_unauthenticated_predict_401(self, auth_server):
+        code, body = _post(auth_server, "/predict",
+                           {"instances": [self._img()],
+                            "preprocessed": True})
+        assert code == 401 and "bearer" in body["error"]
+
+    def test_wrong_token_401(self, auth_server):
+        code, _ = _post(auth_server, "/predict",
+                        {"instances": [self._img()], "token": "wrong",
+                         "preprocessed": True})
+        assert code == 401
+
+    def test_bearer_header_accepted(self, auth_server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{auth_server.port}/predict",
+            data=json.dumps({"instances": [self._img()],
+                             "preprocessed": True}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": "Bearer s3cret"})
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+            assert r.status == 200
+        assert len(body["probabilities"]) == 1
+
+    def test_body_token_accepted(self, auth_server):
+        code, body = _post(auth_server, "/predict",
+                           {"instances": [self._img()], "token": "s3cret",
+                            "preprocessed": True})
+        assert code == 200 and len(body["label"]) == 1
+
+    def test_oversized_body_413(self, auth_server):
+        # ~1.8 MB of JSON > the 1 MB cap; rejected before auth/decoding
+        big = np.zeros((30, 64, 64, 3), np.float32).tolist()
+        code, body = _post(auth_server, "/predict",
+                           {"instances": big, "token": "s3cret"})
+        assert code == 413 and "too large" in body["error"]
+
+    def test_healthz_stays_open(self, auth_server):
+        code, body = _get(auth_server, "/healthz")
+        assert code == 200 and body["status"] == "ok"
+
+    def test_errors_counted(self, auth_server):
+        code, _ = _post(auth_server, "/predict", {"instances": []})
+        assert code == 401
+        assert auth_server._errors >= 1
