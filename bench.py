@@ -7,8 +7,15 @@ Prints ONE JSON line:
 ``vs_baseline`` is measured against the PyTorch CPU reference pipeline
 (BASELINE.json north star: >=10x). The torch baseline — a standard torch
 ResNet18 feature extractor + the reference's own NFPPooling op imported from
-/root/reference + the nfp_pooling fusion head — is measured once on this
-machine and cached in ``bench_baseline.json``.
+/root/reference + the nfp_pooling fusion head — exists in TWO forms
+(round-3 VERDICT weak #5a: the local re-measure on a contended shared core
+swung 13.3-19.8 img/s across rounds, moving the headline ratio 1,207-1,711x
+while the device numerator moved <5%):
+
+* **canonical** (``bench_baseline_canonical.json``, COMMITTED, dated): the
+  denominator of the headline ``vs_baseline`` — stable across rounds.
+* **local** (``bench_baseline.json``, gitignored cache): measured once per
+  machine; reported as ``vs_baseline_local``/``baseline_local_img_per_s``.
 """
 
 import json
@@ -18,6 +25,7 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+CANONICAL_BASELINE = os.path.join(REPO, "bench_baseline_canonical.json")
 BATCH = 128
 IMG = 224
 
@@ -233,15 +241,31 @@ def get_baseline():
     return v, False
 
 
+def get_canonical_baseline():
+    """The committed, dated torch-CPU baseline (round-comparable
+    denominator); falls back to the local measurement when the file is
+    missing (e.g. a stripped checkout)."""
+    try:
+        with open(CANONICAL_BASELINE) as f:
+            return float(json.load(f)["torch_cpu_img_per_s"])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def main():
     value = measure_tpu()
-    baseline, estimated = get_baseline()
+    local, estimated = get_baseline()
+    canonical = get_canonical_baseline()
     record = {
         "metric": "images/sec/chip (ResNet18+NFP fwd, 224px)",
         "value": round(value, 1),
         "unit": "img/s",
-        "vs_baseline": round(value / baseline, 2),
+        "vs_baseline": round(value / (canonical or local), 2),
+        "vs_baseline_local": round(value / local, 2),
+        "baseline_local_img_per_s": round(local, 2),
     }
+    if canonical is None:
+        record["baseline_canonical_missing"] = True
     if estimated:
         record["baseline_estimated"] = True
     try:

@@ -40,6 +40,16 @@ def main() -> None:
                          "spatial convs bf16 (implies bf16 model dtype)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--ab", default=None, metavar="TIER_A,TIER_B",
+                    help="interleaved A/B: alternate two serving tiers "
+                         "(fp32|bf16|int8|int8_mixed[,_calib]) within ONE "
+                         "session and report PAIRED device-rate ratios — "
+                         "the protocol for any claimed win <=25%%, since "
+                         "chip state drifts run-to-run by about that much "
+                         "(round-3 VERDICT weak #5b). Two compiles, one "
+                         "process")
+    ap.add_argument("--ab_rounds", type=int, default=5,
+                    help="paired measurement rounds for --ab")
     ap.add_argument("--out", default=os.path.join(REPO, "bench_serve.jsonl"))
     ap.add_argument("--cpu", action="store_true",
                     help="smoke-test on the CPU backend")
@@ -55,6 +65,80 @@ def main() -> None:
     from neighbour_feature_pooling_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+
+    def build_predictor(tier: str):
+        """One serving tier by name: fp32 | bf16 | int8[|_mixed][_calib]."""
+        base = tier.replace("_calib", "")
+        if base not in ("fp32", "bf16", "int8", "int8_mixed"):
+            raise SystemExit(f"unknown tier {tier!r}")
+        int8 = base.startswith("int8")
+        mixed = base == "int8_mixed"
+        kw = {"dtype": jnp.bfloat16} if (base == "bf16" or mixed) else {}
+        p = Predictor(args.model_type, args.variant, 21,
+                      batch_size=args.batch, input_size=args.img,
+                      model_kwargs=kw,
+                      quantize="int8" if int8 else None,
+                      quantize_spatial=not mixed)
+        if tier.endswith("_calib"):
+            p.calibrate(x, preprocessed=True)
+        return p
+
+    def device_rate(pred, chain, iters):
+        """Chained compiled forwards, one 4-byte fetch (relay-honest)."""
+        s = jnp.zeros(())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = chain(pred._serve_variables, xd, s)
+        float(s)
+        return args.batch * iters / (time.perf_counter() - t0)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(
+        (args.batch, args.img, args.img, 3)).astype(np.float32)
+    xd = jnp.asarray(x)
+
+    if args.ab:
+        tiers = [t.strip() for t in args.ab.split(",")]
+        if len(tiers) != 2:
+            raise SystemExit("--ab takes exactly two comma-separated tiers")
+        preds, chains = [], []
+        for t in tiers:
+            p = build_predictor(t)
+            f = p._forward
+            chain = jax.jit(
+                lambda v, xx, ss, f=f: ss + jnp.sum(f(v, xx + ss * 0)))
+            # warm both programs before ANY timing (compiles out of band)
+            s = jnp.zeros(())
+            for _ in range(args.warmup):
+                s = chain(p._serve_variables, xd, s)
+            float(s)
+            preds.append(p)
+            chains.append(chain)
+        per_round = max(4, args.iters // args.ab_rounds)
+        rates = [[], []]
+        for _ in range(args.ab_rounds):
+            for i in (0, 1):   # A,B adjacent within each round: chip
+                rates[i].append(device_rate(preds[i], chains[i], per_round))
+        ratios = [b / a for a, b in zip(rates[0], rates[1])]
+        geomean = float(np.exp(np.mean(np.log(ratios))))
+        rec = {
+            "model": f"{args.model_type}+{args.variant}",
+            "batch": args.batch, "img": args.img,
+            "ab": tiers, "rounds": args.ab_rounds,
+            "iters_per_round": per_round,
+            "rate_a_img_per_s": [round(r, 1) for r in rates[0]],
+            "rate_b_img_per_s": [round(r, 1) for r in rates[1]],
+            "paired_ratio_b_over_a": [round(r, 4) for r in ratios],
+            "ratio_geomean": round(geomean, 4),
+            "ratio_min": round(min(ratios), 4),
+            "ratio_max": round(max(ratios), 4),
+            "backend": jax.default_backend(),
+        }
+        print(json.dumps(rec))
+        with open(args.out, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        return
+
     kwargs = {"dtype": jnp.bfloat16} if args.bf16 else {}
     if args.mixed:
         if not args.int8:
@@ -65,9 +149,6 @@ def main() -> None:
                      model_kwargs=kwargs,
                      quantize="int8" if args.int8 else None,
                      quantize_spatial=not args.mixed)
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal(
-        (args.batch, args.img, args.img, 3)).astype(np.float32)
     n_chains = 0
     if args.calibrate:
         if not args.int8:

@@ -54,9 +54,24 @@ def main() -> None:
     ap.add_argument("--variant", default="texture_nfp")
     ap.add_argument("--num_classes", type=int, default=21)
     ap.add_argument("--out", default=os.path.join(REPO, "bench_train.jsonl"))
+    ap.add_argument("--ab", default=None,
+                    choices=["bf16", "remat", "stem_s2d", "input_bf16"],
+                    help="interleaved A/B over one boolean flag: time the "
+                         "flag OFF (A) vs ON (B) in alternating rounds "
+                         "within ONE session and report paired ratios — "
+                         "the protocol for any claimed win <=25%% "
+                         "(run-to-run chip drift is about that size; "
+                         "round-3 VERDICT weak #5b). Loop mode, 2 "
+                         "compiles")
+    ap.add_argument("--ab_rounds", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true",
+                    help="smoke-test on the CPU backend")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -68,21 +83,80 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    model = get_model(args.model_type, args.variant, args.num_classes,
-                      dtype=dtype, remat=args.remat,
-                      stem_s2d=args.stem_s2d)
-    rng = np.random.default_rng(0)
-    img_dtype = jnp.bfloat16 if args.input_bf16 else jnp.float32
-    batch = {
-        "image": jnp.asarray(
-            rng.standard_normal((args.batch, args.img, args.img, 3))
-            .astype(np.float32)).astype(img_dtype),
-        "label": jnp.asarray(rng.integers(0, args.num_classes, args.batch),
-                             jnp.int32),
-        "weight": jnp.ones((args.batch,), jnp.float32),
-    }
-    state = create_train_state(model, jax.random.PRNGKey(0), batch, 1e-4)
+    def build(flags):
+        dtype = jnp.bfloat16 if flags["bf16"] else jnp.float32
+        model = get_model(args.model_type, args.variant, args.num_classes,
+                          dtype=dtype, remat=flags["remat"],
+                          stem_s2d=flags["stem_s2d"])
+        rng = np.random.default_rng(0)
+        img_dtype = jnp.bfloat16 if flags["input_bf16"] else jnp.float32
+        batch = {
+            "image": jnp.asarray(
+                rng.standard_normal((args.batch, args.img, args.img, 3))
+                .astype(np.float32)).astype(img_dtype),
+            "label": jnp.asarray(
+                rng.integers(0, args.num_classes, args.batch), jnp.int32),
+            "weight": jnp.ones((args.batch,), jnp.float32),
+        }
+        state = create_train_state(model, jax.random.PRNGKey(0), batch,
+                                   1e-4)
+        return model, batch, state
+
+    base_flags = {"bf16": args.bf16, "remat": args.remat,
+                  "stem_s2d": args.stem_s2d, "input_bf16": args.input_bf16}
+
+    if args.ab:
+        # NOTE: donation is OFF for the A/B steps — two states alternate,
+        # and a donated buffer could not be reused across programs
+        flags_b = dict(base_flags, **{args.ab: True})
+        flags_a = dict(base_flags, **{args.ab: False})
+        arms = []
+        for flags in (flags_a, flags_b):
+            model, batch, state = build(flags)
+            step = jax.jit(functools.partial(
+                train_step_body, num_classes=args.num_classes),
+                static_argnames=("frozen",))
+            drng = jax.random.PRNGKey(1)
+            for _ in range(args.warmup):
+                state, loss, _ = step(state, batch, drng, frozen=False)
+            float(loss)
+            arms.append({"flags": flags, "step": step, "state": state,
+                         "batch": batch, "drng": drng})
+        per_round = max(4, args.iters // args.ab_rounds)
+        rates = [[], []]
+        for _ in range(args.ab_rounds):
+            for i, arm in enumerate(arms):
+                st = arm["state"]
+                t0 = time.perf_counter()
+                for _ in range(per_round):
+                    st, loss, _ = arm["step"](st, arm["batch"],
+                                              arm["drng"], frozen=False)
+                float(loss)
+                arm["state"] = st
+                rates[i].append(
+                    args.batch * per_round / (time.perf_counter() - t0))
+        ratios = [b / a for a, b in zip(rates[0], rates[1])]
+        geomean = float(np.exp(np.mean(np.log(ratios))))
+        rec = {
+            "mode": "ab", "ab_flag": args.ab,
+            "model": f"{args.model_type}+{args.variant}",
+            "batch": args.batch, "img": args.img,
+            "base_flags": base_flags, "rounds": args.ab_rounds,
+            "iters_per_round": per_round,
+            "rate_off_img_per_s": [round(r, 1) for r in rates[0]],
+            "rate_on_img_per_s": [round(r, 1) for r in rates[1]],
+            "paired_ratio_on_over_off": [round(r, 4) for r in ratios],
+            "ratio_geomean": round(geomean, 4),
+            "ratio_min": round(min(ratios), 4),
+            "ratio_max": round(max(ratios), 4),
+            "backend": jax.default_backend(),
+        }
+        print(json.dumps(rec))
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        return
+
+    model, batch, state = build(base_flags)
     drng = jax.random.PRNGKey(1)
 
     if args.mode == "loop":

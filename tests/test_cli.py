@@ -133,6 +133,20 @@ def test_bench_baseline_estimated_flag(tmp_path, monkeypatch):
     assert estimated is False and v == 16.0
 
 
+def test_bench_canonical_baseline(tmp_path, monkeypatch):
+    """The committed dated baseline is the headline denominator
+    (round-comparable); the per-machine re-measure stays a secondary
+    field (round-3 VERDICT weak #5a)."""
+    import bench
+
+    v = bench.get_canonical_baseline()
+    assert v == pytest.approx(16.4)
+    # a stripped checkout falls back gracefully
+    monkeypatch.setattr(bench, "CANONICAL_BASELINE",
+                        str(tmp_path / "missing.json"))
+    assert bench.get_canonical_baseline() is None
+
+
 def test_main_end_to_end_synthetic(tmp_path, monkeypatch, capsys):
     from neighbour_feature_pooling_tpu.cli import main
 
