@@ -13,6 +13,20 @@ import numpy as np
 import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_caches():
+    """Full-suite runs reached this module with ~500 tests' compiled
+    programs resident and the XLA:CPU compiler then segfaulted inside
+    ``backend_compile_and_load`` while building the first big
+    shard_map/ppermute pipeline program (reproduced twice at 55–58% of
+    the suite, round 4; the module passes standalone and after every
+    ~200-test prefix tried). Dropping the accumulated executables before
+    compiling the pipeline programs avoids the compiler state that
+    triggers it."""
+    jax.clear_caches()
+    yield
+
 from neighbour_feature_pooling_tpu.models.backbones.vit import ViT
 from neighbour_feature_pooling_tpu.parallel import (
     create_pp_mesh,
