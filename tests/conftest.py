@@ -38,3 +38,39 @@ def reference_available() -> bool:
 def add_reference_to_path():
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+# --------------------------------------------------------------- quick tier
+# ``pytest -m quick`` = a <10-minute signal on this 1-core host (round-3
+# VERDICT #4). Selection is whole fast modules, chosen from the measured
+# run-B durations report (2026-08-20: the set below sums to ~6.5 min;
+# the full suite is ~63 min and stays the merge gate). The tier keeps the
+# scientific core's torch-parity coverage (test_nfp_parity,
+# test_texture_ops_parity, test_grad_robustness) plus every sub-second
+# unit surface; the excluded modules are the training/sharding/serving
+# e2e suites whose individual tests run 20-150 s.
+
+QUICK_MODULES = {
+    "test_data",
+    "test_fuzz_texture_ops",
+    "test_grad_robustness",
+    "test_heads_extra",
+    "test_int8_conv",
+    "test_int8_gemm",
+    "test_native_augment",
+    "test_nfp_parity",
+    "test_serve_http",
+    "test_texture_ops_parity",
+    "test_timm_port",
+    "test_torch_init",
+    "test_tpu_launcher",
+    "test_visualize",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if item.module.__name__ in QUICK_MODULES:
+            item.add_marker(_pytest.mark.quick)
