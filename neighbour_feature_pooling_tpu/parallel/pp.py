@@ -248,10 +248,16 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: int,
         tokens = args[0]
         n_valid = args[1] if len(args) > 1 else kwargs.get("n_valid", 0)
         b = tokens.shape[0]
-        if mod.depth % n_stages or b % num_microbatches:
+        if mod.depth % n_stages:
+            # a depth/stage mismatch is a configuration error, not a
+            # per-shape condition — raising here (trace time) keeps the
+            # run from silently training unpipelined (Trainer.__init__
+            # also checks this eagerly for the CLI path)
+            raise ValueError(f"pipeline stages {n_stages} must divide "
+                             f"the ViT depth ({mod.depth})")
+        if b % num_microbatches:
             print(f"pipeline: batch {b} % microbatches {num_microbatches}"
-                  f" != 0 or depth {mod.depth} % stages {n_stages} != 0 — "
-                  f"sequential encoder for this shape")
+                  f" != 0 — sequential encoder for this shape")
             return next_fun(*args, **kwargs)
         params = mod.variables["params"]
         stacked = _split_stages(stack_block_params(params, mod.depth),

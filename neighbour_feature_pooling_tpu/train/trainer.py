@@ -142,6 +142,18 @@ class Trainer:
             if zero != "none":
                 raise ValueError("--pipeline does not compose with --zero "
                                  "yet; pick one")
+            # fail fast (before any data loading / compile) when the stage
+            # count cannot divide the encoder depth — otherwise the
+            # interceptor would have nothing to pipeline and the run would
+            # silently train sequentially, contradicting --pipeline's help
+            from ..models.backbones.vit import ViT
+
+            vit_depth = ViT().depth  # zoo builds the ViT with defaults
+            n_stages = mesh.shape["pipe"]
+            if vit_depth % n_stages:
+                raise ValueError(
+                    f"--pipeline {n_stages} must divide the ViT depth "
+                    f"({vit_depth})")
         self.pretrained_backbone = pretrained_backbone
         # full variable tree replacing the random init (imported reference
         # checkpoints, models/import_torch.py); optimizer starts fresh

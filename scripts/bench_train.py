@@ -117,7 +117,10 @@ def main() -> None:
                 train_step_body, num_classes=args.num_classes),
                 static_argnames=("frozen",))
             drng = jax.random.PRNGKey(1)
-            for _ in range(args.warmup):
+            # ≥1 warmup is required in --ab mode: the compile must land
+            # outside the timed rounds (and `loss` must be bound for the
+            # sync below)
+            for _ in range(max(1, args.warmup)):
                 state, loss, _ = step(state, batch, drng, frozen=False)
             float(loss)
             arms.append({"flags": flags, "step": step, "state": state,

@@ -195,6 +195,25 @@ def test_trainer_rejects_pipeline_misuse(tmp_path):
     with pytest.raises(ValueError, match="zero"):
         Trainer(get_model("vittiny", "gap_only", 2), 2, cfg,
                 mesh=mesh, zero="zero1", pp_microbatches=4)
+    # stages must divide the ViT depth (12): 8 stages would silently
+    # train unpipelined before the eager check existed (round-4 ADVICE)
+    with pytest.raises(ValueError, match="divide the ViT depth"):
+        Trainer(get_model("vittiny", "gap_only", 2), 2, cfg,
+                mesh=create_pp_mesh(8), pp_microbatches=4)
+
+
+def test_make_pipeline_apply_depth_mismatch_raises():
+    """depth % stages != 0 is a config error → raise at trace time, not a
+    silent sequential fallback (that is reserved for batch%microbatches)."""
+    from neighbour_feature_pooling_tpu.models import get_model
+    from neighbour_feature_pooling_tpu.parallel import make_pipeline_apply
+
+    model = get_model("vittiny", "gap_only", 3)
+    x = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    apply_fn = make_pipeline_apply(model, create_pp_mesh(8), 4)
+    with pytest.raises(ValueError, match="divide the ViT depth"):
+        apply_fn(v, x, train=False)
 
 
 def test_cli_pipeline_e2e(tmp_path, monkeypatch, capsys):

@@ -436,3 +436,62 @@ class TestPredictHardening:
         code, _ = _post(auth_server, "/predict", {"instances": []})
         assert code == 401
         assert auth_server._errors >= 1
+
+    def _raw_headers_only(self, srv, extra_headers, length):
+        """Open a raw socket, send only the request head declaring
+        ``length`` body bytes, and read the response WITHOUT sending any
+        body — proves the server decides before reading the body."""
+        import socket
+
+        head = (f"POST /predict HTTP/1.1\r\nHost: h\r\n"
+                f"Content-Type: application/json\r\n"
+                f"Content-Length: {length}\r\n")
+        for k, v in extra_headers.items():
+            head += f"{k}: {v}\r\n"
+        with socket.create_connection(("127.0.0.1", srv.port),
+                                      timeout=10) as s:
+            s.sendall((head + "\r\n").encode())
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                resp += chunk
+        return int(resp.split(b" ", 2)[1])
+
+    def test_big_unauthenticated_body_401_before_read(self, auth_server):
+        """No Authorization header + a declared body too big for the
+        body-token fallback: 401 arrives with ZERO body bytes sent —
+        unauthenticated clients cannot push bytes through the parser
+        (round-4 ADVICE, serve_http.py pre-auth gate)."""
+        assert self._raw_headers_only(auth_server, {}, 50 << 20) == 401
+
+    def test_wrong_bearer_header_401_before_read(self, auth_server):
+        code = self._raw_headers_only(
+            auth_server, {"Authorization": "Bearer nope"}, 50 << 20)
+        assert code == 401
+
+    def test_huge_declared_length_413_after_bounded_drain(self, auth_server):
+        """An authed request declaring 1 GB gets its 413 after at most
+        DRAIN_MAX bytes — the drain is bounded, so a client cannot pin
+        the handler thread for the full declared length (round-4
+        ADVICE). The old unbounded drain would keep blocking for the
+        remaining ~1 GB here."""
+        import socket
+
+        drain_max = 8 << 20  # Handler.DRAIN_MAX
+        head = (f"POST /predict HTTP/1.1\r\nHost: h\r\n"
+                f"Content-Type: application/json\r\n"
+                f"Authorization: Bearer s3cret\r\n"
+                f"Content-Length: {1 << 30}\r\n\r\n")
+        with socket.create_connection(("127.0.0.1", auth_server.port),
+                                      timeout=30) as s:
+            s.sendall(head.encode())
+            s.sendall(b"x" * drain_max)  # exactly the bounded drain
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                resp += chunk
+        assert int(resp.split(b" ", 2)[1]) == 413
