@@ -71,6 +71,42 @@ def measure_tpu(batch=BATCH, iters=30, warmup=5, bf16=False):
     return batch / dt
 
 
+def measure_chip_probe(n=4096, iters=100, k=4):
+    """Fixed-shape bf16 matmul TFLOPS probe — a chip-state indicator
+    emitted alongside the headline (round-4 VERDICT #4: run-to-run chip/
+    relay drift is ±25%, so cross-round img/s deltas need a normalizer).
+    The probe is a pure (n,n)@(n,n) bf16 chain whose speed depends only
+    on MXU clock + relay health, never on framework code — a LOW probe
+    marks the round's numerator as drift-suppressed, a HIGH one as
+    drift-inflated. v5e bf16 peak is ~197 TFLOPS; a healthy relay
+    session measures ~175 at this size (2026-08-20)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
+    scale = jnp.bfloat16(1.0 / np.sqrt(n))  # keep magnitudes finite
+
+    @jax.jit
+    def run(y, b):
+        def body(i, y):
+            return (y @ b) * scale
+
+        return jax.lax.fori_loop(0, iters, body, y)
+
+    y = run(a, b)  # compile + warm
+    float(jnp.sum(y.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    y = a
+    for _ in range(k):  # chained dispatches, one 4-byte fetch at the end
+        y = run(y, b)
+    float(jnp.sum(y.astype(jnp.float32)))
+    dt = time.perf_counter() - t0
+    return 2 * n ** 3 * iters * k / dt / 1e12
+
+
 def measure_tpu_train(batch=128, k=4, iters=8, warmup=2):
     """Train-step throughput (fwd+bwd+Adam) for the flagship config in the
     RECOMMENDED production setup (bf16 compute / fp32 master + Adam, B=128,
@@ -268,6 +304,15 @@ def main():
         record["baseline_canonical_missing"] = True
     if estimated:
         record["baseline_estimated"] = True
+    try:
+        # chip-state normalizer: framework-independent bf16 matmul TFLOPS
+        # (see measure_chip_probe docstring; read img/s deltas across
+        # rounds relative to this)
+        record["chip_probe_tflops"] = round(measure_chip_probe(), 1)
+        record["probe_ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime())
+    except Exception as e:
+        print(f"# chip probe failed: {e}", file=sys.stderr)
     try:
         record["train_img_per_s_bf16"] = round(measure_tpu_train(), 1)
     except Exception as e:  # the headline metric must survive regardless

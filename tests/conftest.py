@@ -8,6 +8,8 @@ anywhere.
 import os
 import sys
 
+import pytest
+
 os.environ["JAX_PLATFORMS"] = "cpu"  # the env presets axon/TPU; tests are CPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -68,9 +70,59 @@ QUICK_MODULES = {
 }
 
 
+# ------------------------------------------- order-independence hardening
+# Round 4 reproduced an XLA:CPU compiler segfault (backend_compile_and_load)
+# building the suite's first big shard_map/ppermute program with ~500 tests'
+# compiled executables resident. The mitigation (jax.clear_caches() before
+# the module's compiles, commit 68e1c34) lived in test_pp only — position-
+# dependent: under a different module order any shard_map-compiling module
+# could be the victim. Generalized here: caches are dropped at the START of
+# every module that compiles shard_map/mesh programs, bounding resident-
+# executable count at each risky compile point regardless of order.
+
+SHARD_HEAVY_MODULES = {
+    "test_cli",          # sharded/pipeline CLI e2e
+    "test_data",         # device-resident split placement
+    "test_pp",           # the original crash site (GPipe ppermute)
+    "test_seed_parallel",
+    "test_sharding",
+    "test_tp",
+    "test_zero",
+}
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_caches_before_shard_heavy(request):
+    if request.module.__name__ in SHARD_HEAVY_MODULES:
+        jax.clear_caches()
+    yield
+
+
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
 
     for item in items:
         if item.module.__name__ in QUICK_MODULES:
             item.add_marker(_pytest.mark.quick)
+
+    # NFP_TEST_SHUFFLE=<seed>: randomize MODULE order (within-module order
+    # is preserved — tests in a module may share module-scoped fixtures
+    # whose cost assumes one setup per module). Used to prove the suite is
+    # order-independent (round-4 VERDICT #3); the seed is printed so a
+    # failing order can be replayed.
+    seed = os.environ.get("NFP_TEST_SHUFFLE")
+    if seed:
+        import random
+
+        modules = []
+        by_module = {}
+        for item in items:
+            name = item.module.__name__
+            if name not in by_module:
+                by_module[name] = []
+                modules.append(name)
+            by_module[name].append(item)
+        random.Random(int(seed)).shuffle(modules)
+        items[:] = [it for name in modules for it in by_module[name]]
+        print(f"\n[conftest] NFP_TEST_SHUFFLE={seed}: module order = "
+              f"{', '.join(modules)}")

@@ -14,18 +14,11 @@ import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compile_caches():
-    """Full-suite runs reached this module with ~500 tests' compiled
-    programs resident and the XLA:CPU compiler then segfaulted inside
-    ``backend_compile_and_load`` while building the first big
-    shard_map/ppermute pipeline program (reproduced twice at 55–58% of
-    the suite, round 4; the module passes standalone and after every
-    ~200-test prefix tried). Dropping the accumulated executables before
-    compiling the pipeline programs avoids the compiler state that
-    triggers it."""
-    jax.clear_caches()
-    yield
+# NOTE: full-suite runs once segfaulted the XLA:CPU compiler building this
+# module's first shard_map/ppermute program with ~500 tests' executables
+# resident (round 4, commit 68e1c34). The jax.clear_caches() mitigation now
+# lives in conftest.py::_fresh_caches_before_shard_heavy and covers every
+# shard_map-compiling module, order-independently.
 
 from neighbour_feature_pooling_tpu.models.backbones.vit import ViT
 from neighbour_feature_pooling_tpu.parallel import (
