@@ -114,6 +114,14 @@ class _FusedStemTail(nn.Module):
         return y.astype(self.dtype)
 
 
+def _ckpt_name(y, name: str):
+    """Tag ``y`` for selective-remat policies (``remat_policy='conv_out'``);
+    identity in normal execution."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(y, name)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -127,10 +135,12 @@ class BasicBlock(nn.Module):
         identity = x
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = _ckpt_name(y, "conv_out")
         y = norm("bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
+        y = _ckpt_name(y, "conv_out")
         y = norm("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
             identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
@@ -155,13 +165,16 @@ class Bottleneck(nn.Module):
         identity = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
+        y = _ckpt_name(y, "conv_out")
         y = nn.relu(norm("bn1")(y))
         # stride on the 3x3 (torch/timm "pytorch"-style ResNet-B)
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = _ckpt_name(y, "conv_out")
         y = nn.relu(norm("bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
+        y = _ckpt_name(y, "conv_out")
         y = norm("bn3")(y)
         if self.stride != 1 or x.shape[-1] != out_ch:
             identity = nn.Conv(out_ch, (1, 1), strides=self.stride,
@@ -182,6 +195,11 @@ class ResNet(nn.Module):
     #: (jax.checkpoint): trades ~33% extra FLOPs for not keeping block
     #: activations alive, unlocking larger train batches in HBM
     remat: bool = False
+    #: with ``remat=True``: 'full' recomputes everything in the block;
+    #: 'conv_out' saves ONLY the tagged conv outputs (BN/ReLU intermediates
+    #: are recomputed from them) — a traffic-vs-FLOPs middle point for the
+    #: memory-bound train step (round-5 MFU experiment, PARITY.md)
+    remat_policy: str = "full"
     #: compute the stem conv via 2×2 space-to-depth (_StemConvS2D) — same
     #: arithmetic, better MXU mapping; requires even H and W (falls back to
     #: the direct conv otherwise). Parameter tree is identical either way.
@@ -217,7 +235,17 @@ class ResNet(nn.Module):
 
         blk = BasicBlock if self.block == "basic" else Bottleneck
         if self.remat:
-            blk = nn.remat(blk, static_argnums=(2,))  # (self, x, train)
+            if self.remat_policy == "conv_out":
+                from jax.ad_checkpoint import checkpoint_policies
+
+                pol = checkpoint_policies.save_only_these_names("conv_out")
+            elif self.remat_policy == "full":
+                pol = None
+            else:
+                raise ValueError(f"remat_policy={self.remat_policy!r} "
+                                 f"(expected 'full' or 'conv_out')")
+            blk = nn.remat(blk, static_argnums=(2,),  # (self, x, train)
+                           policy=pol)
         stages: List[jnp.ndarray] = []
         for i, (planes, n_blocks) in enumerate(
                 zip((64, 128, 256, 512), self.layers)):

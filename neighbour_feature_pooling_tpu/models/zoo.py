@@ -139,6 +139,9 @@ class TextureModel(nn.Module):
     radam_m: int = 4
     dtype: Dtype = jnp.float32
     remat: bool = False  # checkpoint backbone blocks (larger train batches)
+    #: ResNets only: 'full' (recompute whole blocks) or 'conv_out' (save
+    #: conv outputs, recompute BN/ReLU) — see backbones/resnet.ResNet
+    remat_policy: str = "full"
     #: ResNet stems only: compute the 7×7/s2 conv via space-to-depth (same
     #: arithmetic, better MXU mapping; see backbones/resnet._StemConvS2D)
     stem_s2d: bool = False
@@ -154,11 +157,13 @@ class TextureModel(nn.Module):
         if mt == "resnet18":
             return ResNet(block="basic", layers=(2, 2, 2, 2),
                           dtype=self.dtype, remat=self.remat,
+                          remat_policy=self.remat_policy,
                           stem_s2d=self.stem_s2d,
                           stem_fused=self.stem_fused, name="backbone")
         if mt == "resnet50":
             return ResNet(block="bottleneck", layers=(3, 4, 6, 3),
                           dtype=self.dtype, remat=self.remat,
+                          remat_policy=self.remat_policy,
                           stem_s2d=self.stem_s2d,
                           stem_fused=self.stem_fused, name="backbone")
         if mt == "mobilenetv3":

@@ -54,8 +54,17 @@ def main() -> None:
     ap.add_argument("--variant", default="texture_nfp")
     ap.add_argument("--num_classes", type=int, default=21)
     ap.add_argument("--out", default=os.path.join(REPO, "bench_train.jsonl"))
+    ap.add_argument("--remat_conv_out", action="store_true",
+                    help="remat with the save_only(conv_out) policy: BN/"
+                         "ReLU intermediates recomputed from saved conv "
+                         "outputs — a traffic-vs-FLOPs middle point for "
+                         "the memory-bound step (ResNets)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the train state into the jitted step "
+                         "(in-place parameter/optimizer buffers)")
     ap.add_argument("--ab", default=None,
-                    choices=["bf16", "remat", "stem_s2d", "input_bf16"],
+                    choices=["bf16", "remat", "stem_s2d", "input_bf16",
+                             "remat_conv_out", "donate"],
                     help="interleaved A/B over one boolean flag: time the "
                          "flag OFF (A) vs ON (B) in alternating rounds "
                          "within ONE session and report paired ratios — "
@@ -86,7 +95,11 @@ def main() -> None:
     def build(flags):
         dtype = jnp.bfloat16 if flags["bf16"] else jnp.float32
         model = get_model(args.model_type, args.variant, args.num_classes,
-                          dtype=dtype, remat=flags["remat"],
+                          dtype=dtype,
+                          remat=flags["remat"] or flags["remat_conv_out"],
+                          remat_policy=("conv_out"
+                                        if flags["remat_conv_out"]
+                                        else "full"),
                           stem_s2d=flags["stem_s2d"])
         rng = np.random.default_rng(0)
         img_dtype = jnp.bfloat16 if flags["input_bf16"] else jnp.float32
@@ -103,19 +116,25 @@ def main() -> None:
         return model, batch, state
 
     base_flags = {"bf16": args.bf16, "remat": args.remat,
-                  "stem_s2d": args.stem_s2d, "input_bf16": args.input_bf16}
+                  "stem_s2d": args.stem_s2d, "input_bf16": args.input_bf16,
+                  "remat_conv_out": args.remat_conv_out,
+                  "donate": args.donate}
 
     if args.ab:
-        # NOTE: donation is OFF for the A/B steps — two states alternate,
-        # and a donated buffer could not be reused across programs
+        # donation is off by default for the A/B steps (each arm keeps its
+        # own state); --ab donate measures donation itself, per-arm
         flags_b = dict(base_flags, **{args.ab: True})
         flags_a = dict(base_flags, **{args.ab: False})
         arms = []
         for flags in (flags_a, flags_b):
             model, batch, state = build(flags)
+            # each arm owns its state and its program, so donating the
+            # state is safe per-arm (the old buffer is consumed by the
+            # same program that produced its successor)
             step = jax.jit(functools.partial(
                 train_step_body, num_classes=args.num_classes),
-                static_argnames=("frozen",))
+                static_argnames=("frozen",),
+                **({"donate_argnums": (0,)} if flags["donate"] else {}))
             drng = jax.random.PRNGKey(1)
             # ≥1 warmup is required in --ab mode: the compile must land
             # outside the timed rounds (and `loss` must be bound for the
@@ -204,6 +223,7 @@ def main() -> None:
         "batch": args.batch, "img": args.img,
         "dtype": "bf16" if args.bf16 else "fp32",
         "remat": args.remat,
+        "remat_conv_out": args.remat_conv_out,
         "stem_s2d": args.stem_s2d,
         "scan_steps": args.scan_steps if args.mode == "scan" else 1,
         "steps": n_steps, "seconds": round(dt, 3),

@@ -345,6 +345,42 @@ def test_remat_gradients_match():
                                        err_msg=mt)
 
 
+def test_remat_conv_out_policy_matches_stock():
+    """remat_policy='conv_out' (save only tagged conv outputs, recompute
+    BN/ReLU — the round-5 traffic-vs-FLOPs lever) must also be numerically
+    a no-op vs no remat, for both ResNet block types."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+
+    for mt in ("resnet18", "resnet50"):
+        base = get_model(mt, "texture_nfp", 3)
+        rem = get_model(mt, "texture_nfp", 3, remat=True,
+                        remat_policy="conv_out")
+
+        v = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+        def loss(variables, model):
+            out, _ = model.apply(variables, x, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(1)},
+                                 mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+
+        l0, g0 = jax.value_and_grad(lambda vv: loss(vv, base))(v)
+        l1, g1 = jax.value_and_grad(lambda vv: loss(vv, rem))(v)
+        assert abs(float(l0) - float(l1)) < 1e-5, mt
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4, err_msg=mt)
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad = get_model("resnet18", "gap_only", 3, remat=True,
+                        remat_policy="nope")
+        bad.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+
 def test_dw_shifted_matches_conv():
     """The shifted-slice depthwise conv (DepthwiseConvShifted, the retired
     round-3 spike kept behind NFP_TPU_DW_SHIFTED=1) is parameter-compatible
