@@ -172,7 +172,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline-parallel stages for the ViT encoder "
                         "(GPipe, parallel/pp.py) on a (data, pipe) mesh; "
                         "must divide the device count and the ViT depth "
-                        "(12). vittiny only; incompatible with "
+                        "(12). vittiny only BY DESIGN (conv stages are "
+                        "heterogeneous — use --num_devices/--zero/"
+                        "--model_parallel there; docs/API.md 'Design "
+                        "boundary'). Gives the GPipe schedule with "
+                        "replicated weights; per-chip weight-memory "
+                        "savings need the library path "
+                        "(pp.shard_stacked_params). Incompatible with "
                         "--model_parallel/--zero/--seed_parallel")
     p.add_argument("--pp_microbatches", type=int, default=8,
                    help="GPipe microbatches per step under --pipeline; "
