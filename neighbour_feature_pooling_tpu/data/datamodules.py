@@ -680,6 +680,25 @@ class FolderDataModule(ArrayDataModule):
                   f"class folders (expected {self.num_classes}); "
                   f"proceeding with the tree as-is")
 
+    #: immediate-subdir names marking a pre-split distribution root
+    #: (e.g. GTOS-Mobile ships ``gtos-mobile/{train,test}/<class>/*.jpg``,
+    #: pytorch-material-classification layout). Such trees are MERGED and
+    #: re-split 70/10/20 with the fixed seed — the reference's protocol —
+    #: instead of silently scanning only one branch.
+    _SPLIT_DIR_NAMES = ("train", "test", "val", "validation")
+
+    def _class_roots(self) -> List[str]:
+        """The directories whose children are class folders: ``data_dir``
+        itself, or — when every immediate subdir is named like a split —
+        each of those split subdirs (merged scan)."""
+        subdirs = sorted(
+            d for d in os.listdir(self.data_dir)
+            if os.path.isdir(os.path.join(self.data_dir, d)))
+        if subdirs and all(d.lower() in self._SPLIT_DIR_NAMES
+                           for d in subdirs):
+            return [os.path.join(self.data_dir, d) for d in subdirs]
+        return [self.data_dir]
+
     def _scan(self) -> Tuple[List[str], List[int]]:
         if not self.data_dir or not os.path.isdir(self.data_dir):
             hint = (f"prepare_data() downloads it on networked machines"
@@ -689,16 +708,20 @@ class FolderDataModule(ArrayDataModule):
                 f"{type(self).__name__}: data_dir {self.data_dir!r} not "
                 f"found ({hint}); provide a class-subfolder tree or use "
                 f"--dataset synthetic.")
-        classes = sorted(
-            d for d in os.listdir(self.data_dir)
-            if os.path.isdir(os.path.join(self.data_dir, d)))
+        roots = self._class_roots()
+        classes = sorted({
+            d for root in roots for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d))})
         paths, labels = [], []
         for li, cls in enumerate(classes):
-            cdir = os.path.join(self.data_dir, cls)
-            for fn in sorted(os.listdir(cdir)):
-                if fn.lower().endswith(_IMG_EXTS):
-                    paths.append(os.path.join(cdir, fn))
-                    labels.append(li)
+            for root in roots:
+                cdir = os.path.join(root, cls)
+                if not os.path.isdir(cdir):
+                    continue
+                for fn in sorted(os.listdir(cdir)):
+                    if fn.lower().endswith(_IMG_EXTS):
+                        paths.append(os.path.join(cdir, fn))
+                        labels.append(li)
         if not paths:
             raise FileNotFoundError(
                 f"{type(self).__name__}: no images under {self.data_dir!r}")

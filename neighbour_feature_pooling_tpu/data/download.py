@@ -240,6 +240,14 @@ def find_class_root(root: str,
         except OSError:
             return False
 
+    def is_class_root(d: str) -> bool:
+        try:
+            subdirs = [os.path.join(d, s) for s in os.listdir(d)
+                       if os.path.isdir(os.path.join(d, s))]
+        except OSError:
+            return False
+        return sum(has_images(s) for s in subdirs) >= 2
+
     def walk(d: str, depth: int) -> Optional[str]:
         try:
             subdirs = sorted(
@@ -249,6 +257,14 @@ def find_class_root(root: str,
             return None
         with_imgs = [s for s in subdirs if has_images(s)]
         if len(with_imgs) >= 2:
+            return d
+        # pre-split distributions (GTOS-Mobile: ``{train,test}/<class>/``):
+        # the SPLIT ROOT is the class root's parent — returning it lets
+        # FolderDataModule merge the branches; descending further would
+        # silently pick whichever split sorts first
+        if any(os.path.basename(s).lower() in ("train", "test", "val",
+                                               "validation")
+               and is_class_root(s) for s in subdirs):
             return d
         if depth >= max_depth:
             return None
