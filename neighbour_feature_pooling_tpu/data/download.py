@@ -32,6 +32,10 @@ __all__ = ["network_available", "download_file", "extract_archive",
 
 #: set to "1" to hard-disable all downloads regardless of reachability
 OFFLINE_ENV = "NFP_TPU_OFFLINE"
+#: skip the TCP probe and treat the network as reachable — for mocked-
+#: download rehearsals against a localhost mirror (reproduce_readme
+#: --smoke) where the public-host probe would fail in an offline CI
+FORCE_ONLINE_ENV = "NFP_TPU_ASSUME_ONLINE"
 
 #: canonical dataset sources (same hosts torchvision/torchgeo/AgML use).
 #: The entries added in round 4 (RESISC45/PlantVillage/sugarcane) are the
@@ -101,6 +105,8 @@ def network_available(timeout: float = 3.0, force_probe: bool = False) -> bool:
     global _probe_cache
     if os.environ.get(OFFLINE_ENV, "") not in ("", "0"):
         return False
+    if os.environ.get(FORCE_ONLINE_ENV, "") not in ("", "0"):
+        return True
     if _probe_cache is not None and not force_probe:
         return _probe_cache
     ok = False

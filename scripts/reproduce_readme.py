@@ -69,6 +69,112 @@ CONFIGS = {
 
 SEEDS = [42, 123, 999]  # demo.py:545-554
 
+
+# ------------------------------------------------------------------ --smoke
+# Mocked-download rehearsal (round-4 VERDICT #8): build tiny dataset
+# archives + a weights file, serve them from a localhost HTTP mirror, and
+# run the whole 4-row protocol (URL resolution -> download_file ->
+# extract -> find_class_root -> scan/split -> train -> eval) at toy sizes
+# so the egress-gated path cannot bit-rot. CI runs it via
+# tests/test_reproduce_smoke.py.
+
+def _smoke_write_tree(root, classes, per_class, rng, split_dirs=None):
+    from PIL import Image
+
+    roots = ([os.path.join(root, s) for s in split_dirs]
+             if split_dirs else [root])
+    for r in roots:
+        for cls in classes:
+            d = os.path.join(r, cls)
+            os.makedirs(d, exist_ok=True)
+            for i in range(per_class):
+                arr = (rng.random((12, 12, 3)) * 255).astype("uint8")
+                Image.fromarray(arr).save(os.path.join(d, f"{i}.jpg"))
+
+
+def _smoke_fake_resnet18_pth(dest):
+    """timm/torchvision-keyed random ResNet18 state_dict — shape-exact, so
+    ``timm_port.port_resnet`` exercises the full porting path."""
+    import numpy as np
+    import torch
+
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name + ".weight"] = torch.tensor(
+            (rng.standard_normal((o, i, k, k)) * 0.05).astype("float32"))
+
+    def bn(name, c):
+        sd[name + ".weight"] = torch.ones(c)
+        sd[name + ".bias"] = torch.zeros(c)
+        sd[name + ".running_mean"] = torch.zeros(c)
+        sd[name + ".running_var"] = torch.ones(c)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    cin = 64
+    for si, cout in enumerate((64, 128, 256, 512)):
+        for bi in range(2):
+            t = f"layer{si + 1}.{bi}"
+            conv(f"{t}.conv1", cout, cin, 3)
+            bn(f"{t}.bn1", cout)
+            conv(f"{t}.conv2", cout, cout, 3)
+            bn(f"{t}.bn2", cout)
+            if cin != cout:
+                conv(f"{t}.downsample.0", cout, cin, 1)
+                bn(f"{t}.downsample.1", cout)
+            cin = cout
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    torch.save(sd, dest)
+
+
+def _smoke_mirror(tmpd):
+    """Build the fixture archives + weights, serve them over localhost
+    HTTP, set the URL/online env overrides. Returns a shutdown callable."""
+    import functools
+    import http.server
+    import shutil
+    import threading
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    stage = os.path.join(tmpd, "stage")
+    mirror = os.path.join(tmpd, "mirror")
+    os.makedirs(mirror, exist_ok=True)
+    # 10 images/class so the stratified 70/10/20 split leaves val
+    # non-empty (int(0.1*n) >= 1) and best-checkpoint selection is real.
+    # UCMerced: the real zip nests <root>/UCMerced_LandUse/Images/<cls>/
+    _smoke_write_tree(
+        os.path.join(stage, "UCMerced", "UCMerced_LandUse", "Images"),
+        [f"class{i:02d}" for i in range(21)], 10, rng)
+    # GTOS-Mobile: the distribution's native pre-split layout (5+5)
+    _smoke_write_tree(
+        os.path.join(stage, "GTOS-Mobile", "gtos-mobile"),
+        [f"terrain{i:02d}" for i in range(31)], 5, rng,
+        split_dirs=("train", "test"))
+    _smoke_write_tree(
+        os.path.join(stage, "PlantVillage"),
+        [f"leaf{i:02d}" for i in range(38)], 10, rng)
+    for name in ("UCMerced", "GTOS-Mobile", "PlantVillage"):
+        shutil.make_archive(os.path.join(mirror, name), "zip",
+                            os.path.join(stage, name))
+    _smoke_fake_resnet18_pth(os.path.join(mirror, "resnet18.pth"))
+
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=mirror)
+    handler.log_message = lambda *a, **k: None
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    os.environ["NFP_TPU_ASSUME_ONLINE"] = "1"
+    os.environ["NFP_TPU_URL_UCMERCED"] = f"{base}/UCMerced.zip"
+    os.environ["NFP_TPU_URL_GTOS_MOBILE"] = f"{base}/GTOS-Mobile.zip"
+    os.environ["NFP_TPU_URL_PLANTVILLAGE"] = f"{base}/PlantVillage.zip"
+    os.environ["NFP_TPU_WEIGHTS_URL_RESNET18"] = f"{base}/resnet18.pth"
+    return httpd.shutdown
+
 #: default pretrained-backbone sources for ``--download``. The torchvision
 #: resnet18 state_dict uses the same key names timm does, so it ports
 #: directly (``models/backbones/timm_port.py``). mobilenetv3/vittiny ship
@@ -138,7 +244,7 @@ def build_config(name: str, cfg: dict, args) -> dict:
     from neighbour_feature_pooling_tpu.data import DATASET_NUM_CLASSES
 
     weights = resolve_weights(args, cfg["model_type"])
-    return {
+    config = {
         "name": f"repro_{name}",
         "data_dir": os.path.join(args.data_root, cfg["dataset"]),
         "batch_size": {"train": args.batch_size, "val": args.batch_size,
@@ -165,11 +271,27 @@ def build_config(name: str, cfg: dict, args) -> dict:
         # ~1e-6-exact via the matmul resize path)
         "device_data": args.device_data, "device_eval": args.device_data,
     }
+    if getattr(args, "smoke", False):
+        # toy sizes — 96px keeps every head geometry valid (texture_nfp
+        # runs padding=0 on the /32 tail, so the map must be >=3x3);
+        # num_devices pinned to 1 (CPU multi-device training risks the
+        # XLA:CPU all-reduce rendezvous abort, CLAUDE.md)
+        config.update(resize_size=104, input_size=96, num_devices=1,
+                      patience=1)
+    return config
 
 
-def main() -> int:
+def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--data_root", type=str, required=True)
+    ap.add_argument("--data_root", type=str, default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="mocked-download rehearsal: tiny fixture archives "
+                         "served from a localhost mirror, 1 seed, 1 epoch, "
+                         "12px — exercises the ENTIRE --download protocol "
+                         "(URL override resolution, download, extract, "
+                         "class-root discovery incl. GTOS's pre-split "
+                         "tree, weights download + timm port, train, "
+                         "eval) with no egress; accuracy is NOT compared")
     ap.add_argument("--weights_dir", type=str, default=None)
     ap.add_argument("--tolerance", type=float, default=2.0,
                     help="allowed |mean - published| in accuracy points "
@@ -204,15 +326,34 @@ def main() -> int:
                     help="warn instead of fail when no pretrained weights "
                          "are given (from-scratch runs will miss the table)")
     ap.add_argument("--out", type=str, default="reproduce_readme.json")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     args.weights_url = dict(s.split("=", 1) for s in args.weights_url)
+
+    stop_mirror = None
+    seeds = SEEDS
+    if args.smoke:
+        import tempfile
+
+        tmpd = tempfile.mkdtemp(prefix="nfp_smoke_")
+        stop_mirror = _smoke_mirror(tmpd)
+        args.data_root = os.path.join(tmpd, "data")
+        args.download = True
+        args.allow_missing_weights = True
+        args.require_all = True      # a failed mocked download must FAIL
+        args.max_epochs = 1
+        args.batch_size = 8
+        seeds = [42]
+        print(f"--smoke: localhost mirror up, data_root={args.data_root}")
+    elif not args.data_root:
+        ap.error("--data_root is required (or use --smoke)")
 
     import numpy as np
 
     from neighbour_feature_pooling_tpu.cli import run_experiment
     from neighbour_feature_pooling_tpu.utils import enable_compilation_cache
 
-    enable_compilation_cache()
+    if not args.smoke:
+        enable_compilation_cache()
 
     results = {}
     failures = []
@@ -239,11 +380,17 @@ def main() -> int:
             print("WARN", msg)
 
         accs = []
-        for seed in SEEDS:
+        for seed in seeds:
             print(f"==== {name} seed {seed} ====")
             accs.append(100.0 * run_experiment(seed, config))
         mean, std = float(np.mean(accs)), float(np.std(accs))
         delta = mean - cfg["expected"]
+        if args.smoke:  # completion is the assertion, not accuracy
+            results[name] = {"status": "smoke_ok", "accs": accs,
+                             "pretrained": config["pretrained"]}
+            print(f"SMOKE OK {name}: ran {len(accs)} seed(s), "
+                  f"acc {mean:.1f}")
+            continue
         ok = abs(delta) <= args.tolerance or delta > 0  # beating it is fine
         results[name] = {
             "status": "pass" if ok else "fail",
@@ -257,6 +404,8 @@ def main() -> int:
         if not ok:
             failures.append(line)
 
+    if stop_mirror is not None:
+        stop_mirror()
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"results written to {args.out}")
