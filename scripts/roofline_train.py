@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--num_classes", type=int, default=21)
     ap.add_argument("--fp32", action="store_true",
                     help="price the fp32 step (default bf16 production)")
+    ap.add_argument("--fwd", action="store_true",
+                    help="price the INFERENCE forward only (read A+W, "
+                         "write Z per conv/dot; no backward, no Adam) — "
+                         "the serving-path bound")
     ap.add_argument("--measured_ms", type=float, default=None,
                     help="measured ms/step (bench_train) to compare; "
                          "omit to print the bound alone")
@@ -131,7 +135,7 @@ def main():
         fwd_b = a + w + z
         dx_b = 0 if i == 0 else (z + w + a)      # read dZ+W, write dA
         dw_b = a + z + w                         # read A+dZ, write dW
-        b = fwd_b + dx_b + dw_b
+        b = fwd_b if args.fwd else (fwd_b + dx_b + dw_b)
         total += b
         rows.append({"op": prim, "in": list(ins[0].shape),
                      "w": (list(ins[1].shape) if len(ins) > 1 else []),
@@ -140,12 +144,14 @@ def main():
     n_params = sum(
         int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(
             variables["params"]))
-    adam_b = 7 * 4 * n_params + 2 * jnp.dtype(dtype).itemsize * n_params
+    adam_b = (0 if args.fwd else
+              7 * 4 * n_params + 2 * jnp.dtype(dtype).itemsize * n_params)
     total += adam_b
 
     lb_ms = total / (HBM_GBPS * 1e9) * 1000.0
     rec = {
         "model": f"{args.model_type}+{args.variant}",
+        "pass": "fwd" if args.fwd else "train",
         "batch": args.batch, "img": args.img,
         "dtype": "fp32" if args.fp32 else "bf16",
         "n_conv_dot": len(hits),
