@@ -132,7 +132,6 @@ def _smoke_fake_resnet18_pth(dest):
 def _smoke_mirror(tmpd):
     """Build the fixture archives + weights, serve them over localhost
     HTTP, set the URL/online env overrides. Returns a shutdown callable."""
-    import functools
     import http.server
     import shutil
     import threading
@@ -162,10 +161,15 @@ def _smoke_mirror(tmpd):
                             os.path.join(stage, name))
     _smoke_fake_resnet18_pth(os.path.join(mirror, "resnet18.pth"))
 
-    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
-                                directory=mirror)
-    handler.log_message = lambda *a, **k: None
-    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    class _QuietHandler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=mirror, **kw)
+
+        def log_message(self, fmt, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0),
+                                            _QuietHandler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
     os.environ["NFP_TPU_ASSUME_ONLINE"] = "1"
