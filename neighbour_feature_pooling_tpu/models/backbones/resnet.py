@@ -114,9 +114,14 @@ class _FusedStemTail(nn.Module):
         return y.astype(self.dtype)
 
 
-def _ckpt_name(y, name: str):
-    """Tag ``y`` for selective-remat policies (``remat_policy='conv_out'``);
-    identity in normal execution."""
+def _ckpt_name(y, name: str, enabled: bool):
+    """Tag ``y`` for selective-remat policies (``remat_policy='conv_out'``).
+    MUST stay a true no-op unless that policy is active: ``checkpoint_name``
+    inserts a ``name_p`` eqn into the jaxpr even outside remat, which broke
+    the int8 BN-folding/chaining dataflow discovery (quant.py pattern-
+    matches conv→BN adjacency; round-5 randomized full run #2)."""
+    if not enabled:
+        return y
     from jax.ad_checkpoint import checkpoint_name
 
     return checkpoint_name(y, name)
@@ -126,6 +131,9 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    #: tag conv outputs for the 'conv_out' remat policy (ResNet sets this
+    #: only when that policy is active)
+    tag_convs: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -135,12 +143,12 @@ class BasicBlock(nn.Module):
         identity = x
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = _ckpt_name(y, "conv_out")
+        y = _ckpt_name(y, "conv_out", self.tag_convs)
         y = norm("bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
-        y = _ckpt_name(y, "conv_out")
+        y = _ckpt_name(y, "conv_out", self.tag_convs)
         y = norm("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
             identity = nn.Conv(self.planes, (1, 1), strides=self.stride,
@@ -155,6 +163,8 @@ class Bottleneck(nn.Module):
     stride: int = 1
     expansion: int = 4
     dtype: Dtype = jnp.float32
+    #: see BasicBlock.tag_convs
+    tag_convs: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -165,16 +175,16 @@ class Bottleneck(nn.Module):
         identity = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
-        y = _ckpt_name(y, "conv_out")
+        y = _ckpt_name(y, "conv_out", self.tag_convs)
         y = nn.relu(norm("bn1")(y))
         # stride on the 3x3 (torch/timm "pytorch"-style ResNet-B)
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = _ckpt_name(y, "conv_out")
+        y = _ckpt_name(y, "conv_out", self.tag_convs)
         y = nn.relu(norm("bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(y)
-        y = _ckpt_name(y, "conv_out")
+        y = _ckpt_name(y, "conv_out", self.tag_convs)
         y = norm("bn3")(y)
         if self.stride != 1 or x.shape[-1] != out_ch:
             identity = nn.Conv(out_ch, (1, 1), strides=self.stride,
@@ -234,11 +244,13 @@ class ResNet(nn.Module):
                             padding=((1, 1), (1, 1)))
 
         blk = BasicBlock if self.block == "basic" else Bottleneck
+        tag_convs = False
         if self.remat:
             if self.remat_policy == "conv_out":
                 from jax.ad_checkpoint import checkpoint_policies
 
                 pol = checkpoint_policies.save_only_these_names("conv_out")
+                tag_convs = True
             elif self.remat_policy == "full":
                 pol = None
             else:
@@ -252,6 +264,7 @@ class ResNet(nn.Module):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 x = blk(planes=planes, stride=stride, dtype=self.dtype,
+                        tag_convs=tag_convs,
                         name=f"layer{i + 1}_{j}")(x, train)
             stages.append(x)
         if return_stages:
