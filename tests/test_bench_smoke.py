@@ -93,3 +93,64 @@ def test_bench_train_ab_mode(tmp_path):
     assert rec["ab_flag"] == "stem_s2d"
     assert len(rec["paired_ratio_on_over_off"]) == 2
     assert all(r > 0 for r in rec["rate_off_img_per_s"])
+
+
+def test_measure_chip_probe_smoke(bench):
+    """The drift-normalizer probe added in round 5 (record
+    ["chip_probe_tflops"]) — tiny shape on CPU, only finiteness checked."""
+    v = bench.measure_chip_probe(n=64, iters=2, k=1)
+    assert v > 0
+
+
+def test_roofline_train_smoke(tmp_path):
+    """scripts/roofline_train.py --cpu: the jaxpr walk + traffic pricing
+    must keep working against the live model registry (round-5 MFU
+    close-out artifact)."""
+    import importlib.util
+    import json
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "roofline_train", "/root/repo/scripts/roofline_train.py")
+    rt = importlib.util.module_from_spec(spec)
+    out = tmp_path / "roofline.jsonl"
+    argv = sys.argv
+    sys.argv = ["roofline_train", "--cpu", "--batch", "2", "--img", "64",
+                "--out", str(out)]
+    try:
+        spec.loader.exec_module(rt)
+        rt.main()
+    finally:
+        sys.argv = argv
+    rec = json.loads(out.read_text().splitlines()[-1])
+    assert rec["n_conv_dot"] >= 20          # every RN18 conv + head dots
+    assert rec["traffic_lb_mb"] > 0 and rec["lb_ms_at_820GBps"] > 0
+
+
+def test_bench_sp_fallback_smoke(tmp_path):
+    """scripts/bench_sp_fallback.py at toy size: the eligible config must
+    compile to the halo path (collective-permutes, zero all-gathers) and
+    the ineligible ones to the replication fallback (round-5 VERDICT #5
+    artifact)."""
+    import importlib.util
+    import json
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_sp_fallback", "/root/repo/scripts/bench_sp_fallback.py")
+    bf = importlib.util.module_from_spec(spec)
+    out = tmp_path / "sp.jsonl"
+    argv = sys.argv
+    sys.argv = ["bench_sp_fallback", "--h", "64", "--w", "64", "--c", "8",
+                "--iters", "1", "--out", str(out)]
+    try:
+        spec.loader.exec_module(bf)
+        bf.main()
+    finally:
+        sys.argv = argv
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    by = {r["config"]: r for r in recs}
+    assert by["eligible_same"]["all_gathers"] == 0
+    assert by["eligible_same"]["collective_permutes"] >= 2
+    assert by["fallback_stride2"]["all_gathers"] >= 1
+    assert by["fallback_pad0"]["all_gathers"] >= 1
