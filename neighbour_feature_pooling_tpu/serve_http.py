@@ -243,7 +243,8 @@ class PredictionServer:
 
     def _reload_allowed(self, payload: dict) -> bool:
         if self.reload_token is not None:
-            return payload.get("token") == self.reload_token
+            tok = payload.get("token")
+            return isinstance(tok, str) and _tok_eq(tok, self.reload_token)
         # no token configured: only loopback binds may reload — the route
         # swaps arbitrary filesystem paths into the model
         return self.host in ("127.0.0.1", "::1", "localhost")
